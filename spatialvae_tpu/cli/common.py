@@ -1,0 +1,82 @@
+"""Shared CLI plumbing.
+
+Flag-spelling parity: the reference's mnist/galaxy CLIs use underscores
+(``--z_dim``) while particles uses dashes (``--z-dim``) — SURVEY.md section
+5.6.  Every long flag here registers BOTH spellings as aliases, so either
+form works on any CLI.
+
+Device flag parity (train_mnist.py:322-332): ``-d -1`` forces CPU, ``-2``
+(default) auto-selects the accelerator, ``>= 0`` picks that device index.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+
+import jax
+
+
+def add_arg(parser: argparse.ArgumentParser, name: str, *aliases, **kwargs):
+    """Register a long flag under both dash and underscore spellings."""
+    names = [name, *aliases]
+    spellings = []
+    for n in names:
+        spellings.append(n)
+        if n.startswith("--"):
+            alt = ("--" + n[2:].replace("_", "-") if "_" in n
+                   else "--" + n[2:].replace("-", "_"))
+            if alt != n and alt not in spellings:
+                spellings.append(alt)
+    return parser.add_argument(*spellings, **kwargs)
+
+
+def add_common_extras(parser: argparse.ArgumentParser):
+    """Additive flags beyond the reference surface (documented in README)."""
+    add_arg(parser, "--seed", type=int, default=0,
+            help="PRNG seed (additive; reference RNG is unseeded)")
+    add_arg(parser, "--compute-dtype", choices=["float32", "bfloat16"],
+            default="float32",
+            help="forward/backward compute precision (additive)")
+    add_arg(parser, "--matmul-precision",
+            choices=["default", "high", "highest"], default="highest",
+            help="XLA f32 matmul precision (additive)")
+    add_arg(parser, "--profile-dir", default=None,
+            help="write a jax.profiler trace of epoch 1 here (additive)")
+    add_arg(parser, "--mesh-model", type=int, default=1,
+            help="model/pixel mesh axis size for multi-chip runs (additive)")
+    add_arg(parser, "--no-fused", action="store_true",
+            help="disable the fused Pallas decoder kernel (additive)")
+
+
+@contextlib.contextmanager
+def device_context(device_flag: int, matmul_precision: str = "highest"):
+    """Map the reference's -d flag onto JAX device selection."""
+    jax.config.update("jax_default_matmul_precision", matmul_precision)
+    if device_flag == -1:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            yield cpu
+        return
+    devices = jax.devices()
+    idx = device_flag if device_flag >= 0 else 0
+    dev = devices[min(idx, len(devices) - 1)]
+    with jax.default_device(dev):
+        yield dev
+
+
+def resolve_activation_name(cli_choice: str, trainer: str) -> str:
+    """Per-CLI activation dispatch parity.
+
+    mnist/particles (train_mnist.py:344-348, train_particles.py:433-436):
+    'tanh' -> tanh, 'relu' -> leakyrelu (torch LeakyReLU).
+    galaxy (train_galaxy.py:426-434): 'tanh' -> tanh, 'relu' -> relu,
+    'sigmoid' -> sigmoid, and 'leakyrelu' falls through to tanh because the
+    dispatch tests the misspelling 'leakrelu' — replicated for parity.
+    """
+    if trainer in ("mnist", "particles"):
+        return {"tanh": "tanh", "relu": "leakyrelu"}[cli_choice]
+    if trainer == "galaxy":
+        return {"tanh": "tanh", "relu": "relu", "sigmoid": "sigmoid",
+                "leakyrelu": "tanh"}.get(cli_choice, "tanh")
+    raise ValueError(trainer)

@@ -1,0 +1,37 @@
+"""Inference (encoder) network q(z|y).
+
+Capability parity with /root/reference/spatial_vae/models.py:24-54:
+flat image (pixels*channels) -> [hidden, act] * num_layers (hidden->hidden
+layers optionally residual) -> 2*latent_dim, split into (z_mu, z_logstd).
+
+TPU notes: the first layer is a (B, n)x(n, H) GEMM — for galaxy defaults
+(n=12288, H=5000) this is the single largest weight in the system and the
+natural tensor-parallel shard point (column-sharded over the 'model' mesh
+axis, see spatialvae_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+
+from spatialvae_tpu.core.config import InferenceConfig
+from spatialvae_tpu.nn import mlp_apply, mlp_init, resolve_activation
+
+
+def inference_init(key: jax.Array, cfg: InferenceConfig, dtype=None):
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    dims = [cfg.n] + [cfg.hidden_dim] * cfg.num_layers + [2 * cfg.latent_dim]
+    return {"layers": mlp_init(key, dims, resid_hidden=cfg.resid, dtype=dtype)}
+
+
+def inference_apply(params, cfg: InferenceConfig, y: jax.Array
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """y: (B, n) -> (z_mu, z_logstd), each (B, latent_dim)."""
+    act = resolve_activation(cfg.activation)
+    z = mlp_apply(params["layers"], y, act, resid_hidden=cfg.resid)
+    ld = cfg.latent_dim
+    return z[:, :ld], z[:, ld:]

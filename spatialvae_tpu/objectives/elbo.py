@@ -1,0 +1,206 @@
+"""Unified ELBO for all spatial-VAE training variants.
+
+One pure ``elbo_minibatch`` replaces the three copy-pasted-and-diverged
+``eval_minibatch`` functions of the reference (train_mnist.py:24-90,
+train_particles.py:22-148, train_galaxy.py:27-128).  The per-CLI semantic
+differences are expressed as ``ElboConfig`` fields:
+
+- likelihood: 'bernoulli' (mnist/galaxy BCE x size), 'gaussian'
+  (particles, -0.5*sum((mu-y)^2)), 'colored' (particles --fit-noise,
+  -0.5*sum((mu-y)^2/var + logvar))
+- theta_mean_penalty: the mnist rotation KL includes a theta_mu^2/(2 s^2)
+  term (train_mnist.py:63); particles/galaxy omit it
+  (train_particles.py:86, train_galaxy.py:99)
+- latent layout [theta, dx, dy, z...]; unit-normal KL over translation+z
+- z_scale curriculum (--z-delay), CTF correction, circular pixel mask,
+  rotation-augment offset re-injection
+
+Structured-pose decoding uses the folded first layer
+(spatialvae_tpu.models.spatial) whenever the decoder permits — the rotation
+and translation never materialise a transformed coordinate grid in HBM.
+
+Reference quirk replicated (train_particles.py:102-110): with --fit-noise the
+reference flattens (B, HW, 2) row-major and slices the first HW entries as
+y_mu — interleaving channels across pixel pairs.  ``fit_noise_interleaved``
+(default True) reproduces that exactly; set False for the per-channel
+semantics the code plainly intended.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from spatialvae_tpu.core.config import (
+    InferenceConfig,
+    SpatialGeneratorConfig,
+    VanillaGeneratorConfig,
+)
+from spatialvae_tpu.models import (
+    inference_apply,
+    spatial_generator_apply,
+    vanilla_generator_apply,
+)
+from spatialvae_tpu.models.spatial import (
+    can_fold,
+    spatial_generator_apply_folded,
+)
+from spatialvae_tpu.transforms.coords import rotate_coords, translate_coords
+
+
+@dataclass(frozen=True)
+class ElboConfig:
+    rotate: bool = True
+    translate: bool = True
+    dx_scale: float = 0.1
+    theta_prior: float = 3.141592653589793
+    theta_mean_penalty: bool = False
+    likelihood: str = "bernoulli"          # bernoulli | gaussian | colored
+    channels: int = 1
+    vanilla: bool = False
+    use_fold: bool = True
+    fit_noise_interleaved: bool = True
+
+
+def _bce_sum(y_hat: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Summed binary cross entropy with torch's -100 log clamp.
+
+    torch.nn.functional.binary_cross_entropy clamps each log term at -100
+    (train_mnist.py:81 relies on this for saturated sigmoids).
+    """
+    log_y = jnp.clip(jnp.log(y_hat), -100.0, None)
+    log_1my = jnp.clip(jnp.log1p(-y_hat), -100.0, None)
+    return -jnp.sum(y * log_y + (1.0 - y) * log_1my)
+
+
+def elbo_minibatch(
+    q_params,
+    p_params,
+    q_cfg: InferenceConfig,
+    p_cfg,
+    ecfg: ElboConfig,
+    coords: jnp.ndarray,                  # (HW, 2) untransformed grid
+    y: jnp.ndarray,                       # (B, HW) or (B, HW, C)
+    key: Optional[jax.Array],
+    *,
+    noise: Optional[jnp.ndarray] = None,  # (B, zdim) std-normal; overrides key
+    y_inf: Optional[jnp.ndarray] = None,  # augmented view for q (default y)
+    offsets: Optional[jnp.ndarray] = None,  # (B,) rotation-augment offsets
+    z_scale: float | jnp.ndarray = 1.0,
+    ctf: Optional[jnp.ndarray] = None,    # (B, kn, km) per-image CTF kernels
+    mask: Optional[jnp.ndarray] = None,   # (HW,) float {0,1} pixel mask
+    image_shape: Optional[Tuple[int, int]] = None,  # (n, m) for CTF
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (elbo, log_p_x_g_z, kl_div, y_hat) — scalars except y_hat."""
+    b = y.shape[0]
+    if y_inf is None:
+        y_inf = y
+
+    # ---- inference + reparameterised sample -------------------------------
+    z_mu, z_logstd = inference_apply(q_params, q_cfg, y_inf.reshape(b, -1))
+    z_std = jnp.exp(z_logstd)
+    r = noise if noise is not None else jax.random.normal(
+        key, z_mu.shape, dtype=z_mu.dtype)
+    z = z_std * r + z_mu
+
+    kl_div = jnp.zeros((b,), dtype=z_mu.dtype)
+    theta = None
+    dx = None
+
+    rotate = ecfg.rotate and not ecfg.vanilla
+    translate = ecfg.translate and not ecfg.vanilla
+
+    if rotate:
+        theta_mu = z_mu[:, 0]
+        theta_std = z_std[:, 0]
+        theta_logstd = z_logstd[:, 0]
+        theta = z[:, 0]
+        z, z_mu, z_std, z_logstd = z[:, 1:], z_mu[:, 1:], z_std[:, 1:], z_logstd[:, 1:]
+
+        if offsets is not None:
+            # invert the augmentation rotation so the generator reconstructs
+            # the original pose (train_particles.py:71-74)
+            theta = theta + offsets
+
+        sigma = ecfg.theta_prior
+        kl_rot = (-theta_logstd + jnp.log(sigma)
+                  + theta_std ** 2 / (2.0 * sigma ** 2) - 0.5)
+        if ecfg.theta_mean_penalty:
+            kl_rot = kl_rot + theta_mu ** 2 / (2.0 * sigma ** 2)
+        kl_div = kl_div + kl_rot
+
+    if translate:
+        dx = z[:, :2] * ecfg.dx_scale
+        z = z[:, 2:]
+        # note: z_mu/z_std/z_logstd keep the dx columns — the unit-normal KL
+        # below covers translation and z (train_mnist.py:83-85)
+
+    z = z * z_scale
+
+    # ---- decode -----------------------------------------------------------
+    if ecfg.vanilla:
+        y_hat = vanilla_generator_apply(p_params, p_cfg, None, z)
+    elif ecfg.use_fold and can_fold(p_cfg):
+        y_hat = spatial_generator_apply_folded(p_params, p_cfg, coords,
+                                               theta, dx, z)
+    else:
+        x = jnp.broadcast_to(coords[None], (b,) + coords.shape)
+        if theta is not None:
+            x = rotate_coords(coords, theta)
+        if dx is not None:
+            x = translate_coords(x, dx)
+        y_hat = spatial_generator_apply(p_params, p_cfg, x, z)
+    # y_hat: (B, HW, n_out)
+
+    # ---- reconstruction log-likelihood ------------------------------------
+    if ecfg.likelihood == "bernoulli":
+        # -BCE(mean over elements) * size == -(sum BCE)/B  (train_mnist.py:81,
+        # train_galaxy.py:118-119)
+        target = y.reshape(b, -1)
+        log_p = -_bce_sum(y_hat.reshape(b, -1), target) / b
+    else:
+        y_flat = y.reshape(b, -1)
+        hw = y_flat.shape[1]
+        yp = y_hat.reshape(b, -1)
+        if yp.shape[1] > hw:  # fit-noise: n_out == 2
+            if ecfg.fit_noise_interleaved:
+                y_mu = yp[:, :hw]
+                y_logvar = yp[:, hw:]
+            else:
+                y_mu = y_hat[..., 0]
+                y_logvar = y_hat[..., 1]
+        else:
+            y_mu = yp
+            y_logvar = None
+
+        y_var = jnp.exp(y_logvar) if y_logvar is not None else None
+        if ctf is not None:
+            from spatialvae_tpu.ctf.apply import apply_ctf
+            n, m = image_shape
+            y_mu = apply_ctf(y_mu.reshape(b, n, m), ctf).reshape(b, hw)
+            if y_var is not None:
+                # reference quirk kept: the variance is convolved but the
+                # +logvar term below uses the *pre*-convolution y_logvar
+                # (train_particles.py:110,121-124,137)
+                y_var = apply_ctf(y_var.reshape(b, n, m), ctf).reshape(b, hw)
+
+        sq = (y_mu - y_flat) ** 2
+        if y_var is not None:
+            per_elem = sq / y_var + y_logvar
+        else:
+            per_elem = sq
+        if mask is not None:
+            per_elem = per_elem * mask[None, :]
+        log_p = -0.5 * jnp.mean(jnp.sum(per_elem, axis=1))
+        y_hat = y_mu[..., None] if y_hat.shape[-1] == 1 else y_hat
+
+    # ---- unit normal KL over translation + z ------------------------------
+    z_kl = -z_logstd + 0.5 * z_std ** 2 + 0.5 * z_mu ** 2 - 0.5
+    kl_div = kl_div + jnp.sum(z_kl, axis=1)
+    kl_div = jnp.mean(kl_div)
+
+    elbo = log_p - kl_div
+    return elbo, log_p, kl_div, y_hat

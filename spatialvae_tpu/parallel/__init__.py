@@ -1,0 +1,16 @@
+from spatialvae_tpu.parallel.mesh import MeshConfig, create_mesh
+from spatialvae_tpu.parallel.sharding import (
+    batch_sharding,
+    param_shardings,
+    shard_dataset,
+    shard_params,
+)
+
+__all__ = [
+    "MeshConfig",
+    "create_mesh",
+    "batch_sharding",
+    "param_shardings",
+    "shard_dataset",
+    "shard_params",
+]

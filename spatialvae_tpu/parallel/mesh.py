@@ -1,0 +1,45 @@
+"""Device mesh configuration.
+
+The reference is single-process single-device (SURVEY.md section 2.4); the
+TPU build supplies parallelism from scratch:
+
+- axis 'data': data parallelism — the batch is sharded across chips; XLA
+  all-reduces gradients over ICI automatically.
+- axis 'model': a second axis used two ways (the spatial-VAE analogue of
+  tensor/sequence parallelism):
+    * the encoder's first-layer weight (n_pixels*C, H) — by far the largest
+      parameter (galaxy: 12288x5000 = 61M) — is column-sharded over 'model';
+    * the decoder's (B, HW, H) hidden activations are sharded over 'model'
+      along the pixel axis (pixels are conditionally independent given z, so
+      this "sequence parallelism" needs only the loss-sum all-reduce —
+      strictly cheaper than ring attention; SURVEY.md section 5.7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    data: int = 1
+    model: int = 1
+
+    @staticmethod
+    def auto(n_devices: int | None = None, model: int = 1) -> "MeshConfig":
+        n = n_devices or len(jax.devices())
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        return MeshConfig(data=n // model, model=model)
+
+
+def create_mesh(cfg: MeshConfig, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = cfg.data * cfg.model
+    assert len(devices) >= n, (
+        f"mesh needs {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(cfg.data, cfg.model)
+    return Mesh(arr, axis_names=("data", "model"))

@@ -1,0 +1,82 @@
+"""Named sharding rules for spatial-VAE training.
+
+Strategy (SURVEY.md sections 2.4, 5.7):
+
+- batch arrays: P('data') on the leading axis (pure DP).
+- q-net first-layer weight (n_in, H): P(None, 'model') — column/tensor
+  parallel; its output activations inherit the 'model' sharding and the
+  following hidden layers run row/column-cycled by GSPMD.
+- decoder hidden activations (B, HW, H): constrained to
+  P('data', 'model', None) — pixel-axis sequence parallelism; the recon
+  log-prob partial sums all-reduce once per step.
+- everything else: replicated.
+
+GSPMD inserts the collectives; we only annotate.  The constraint hook for
+the decoder lives in objectives/elbo via ``set_activation_sharding``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_shardings(params: dict, mesh: Mesh) -> dict:
+    """Per-leaf NamedShardings: q first layer tensor-parallel, rest
+    replicated."""
+    def assign(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        # q-net first layer: params['q']['layers'][0]['w'|'b']
+        if keys[:3] == ["q", "layers", 0] and mesh.shape["model"] > 1:
+            if keys[3] == "w" and leaf.ndim == 2:
+                return NamedSharding(mesh, P(None, "model"))
+            if keys[3] == "b" and leaf.ndim == 1:
+                return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def shard_dataset(y, mesh: Mesh, ctf=None):
+    """Shard the in-HBM dataset over the data axis (N divisible not
+    required — GSPMD pads the last shard)."""
+    s = batch_sharding(mesh)
+    y = jax.device_put(y, s)
+    ctf = None if ctf is None else jax.device_put(ctf, s)
+    return y, ctf
+
+
+# --- activation-sharding hook (used by the decoder hot path) ---------------
+
+_ACTIVATION_MESH: Optional[Mesh] = None
+
+
+def set_activation_sharding(mesh: Optional[Mesh]):
+    """Enable pixel-axis sharding constraints inside the decoder.
+
+    Pass None to disable (single-chip)."""
+    global _ACTIVATION_MESH
+    _ACTIVATION_MESH = mesh
+
+
+def constrain_decoder_hidden(h: jax.Array) -> jax.Array:
+    """Constrain (B, HW, H) decoder hidden activations to
+    P('data', 'model', None) when a mesh is active."""
+    if _ACTIVATION_MESH is None:
+        return h
+    return jax.lax.with_sharding_constraint(
+        h, NamedSharding(_ACTIVATION_MESH, P("data", "model", None)))

@@ -1,0 +1,76 @@
+"""Checkpoint save/load.
+
+Filename parity with the reference (misc_tools.py:88-104,
+train_particles.py:529-543): ``{prefix}_generator_epoch{E}.sav`` /
+``{prefix}_inference_epoch{E}.sav`` with the epoch zero-padded to
+``int(log10(num_epochs)) + 1`` digits.  Both cadences are supported: every
+``save_interval`` epochs (particles) and once at end-of-run into
+``outputs_*/trained/`` (mnist/galaxy).
+
+Payload: instead of a torch whole-module pickle the checkpoint is a
+self-describing pickle of {format, kind, config dict, numpy param arrays}.
+``load_checkpoint`` restores (params, config).  A ``--resume``-style loader
+is additive — the reference never loads its own checkpoints (SURVEY.md
+section 3.5).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from spatialvae_tpu.core.config import config_from_dict, config_to_dict
+
+FORMAT = "spatialvae_tpu.checkpoint.v1"
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_model(path: str, kind: str, params, cfg) -> None:
+    payload = {
+        "format": FORMAT,
+        "kind": kind,                      # 'generator' | 'inference'
+        "config": config_to_dict(cfg),
+        "params": _to_numpy(params),
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_model(path: str):
+    """Returns (params, config, kind)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if payload.get("format") != FORMAT:
+        raise ValueError(f"{path} is not a {FORMAT} checkpoint")
+    return payload["params"], config_from_dict(payload["config"]), payload["kind"]
+
+
+def checkpoint_paths(prefix: str, epoch: int, digits: int,
+                     trained_dir: Optional[str] = None) -> Tuple[str, str]:
+    e = str(epoch + 1).zfill(digits)
+    gen = f"{prefix}_generator_epoch{e}.sav"
+    inf = f"{prefix}_inference_epoch{e}.sav"
+    if trained_dir is not None:
+        gen = os.path.join(trained_dir, gen)
+        inf = os.path.join(trained_dir, inf)
+    return gen, inf
+
+
+def save_trained_models(prefix: Optional[str], epoch: int, digits: int,
+                        save_interval: int, trained_dir: Optional[str],
+                        p_params, p_cfg, q_params, q_cfg) -> bool:
+    """Gate + save both networks (misc_tools.py:88-104 semantics)."""
+    if prefix is None or (epoch + 1) % save_interval != 0:
+        return False
+    gen, inf = checkpoint_paths(prefix, epoch, digits, trained_dir)
+    save_model(gen, "generator", p_params, p_cfg)
+    save_model(inf, "inference", q_params, q_cfg)
+    return True

@@ -1,0 +1,303 @@
+"""Unified trainer for all three spatial-VAE workloads.
+
+Replaces the three copy-pasted epoch loops of the reference
+(train_mnist.py:127-226, train_particles.py:151-245, train_galaxy.py:186-294)
+with one driver, configured by ElboConfig/TrainConfig.
+
+TPU-first structure:
+
+- the whole dataset lives in HBM; each epoch is ONE jitted computation:
+  ``lax.scan`` over permuted batch indices, with the per-step gather, the
+  optional rotation augmentation, the ELBO, the backward pass and the Adam
+  update all inside the scan body.  The only device->host transfer per epoch
+  is the stacked (num_batches, 3) metric array (the reference syncs three
+  scalars per *step*, train_mnist.py:152-154 — SURVEY.md section 7.3.5).
+- the trailing partial batch runs through a separately-jitted step so all
+  shapes stay static (one extra compile, cached).
+- ``z_scale`` (the --z-delay curriculum, train_particles.py:500-504) is a
+  traced scalar argument — flipping it between epochs does not recompile.
+- optional bfloat16 compute: parameters/batches are cast to bf16 for the
+  forward/backward pass while the Adam state and updates stay float32.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from spatialvae_tpu.core.config import InferenceConfig
+from spatialvae_tpu.models import (
+    inference_apply,
+    inference_init,
+    spatial_generator_apply,
+    spatial_generator_init,
+    vanilla_generator_apply,
+    vanilla_generator_init,
+)
+from spatialvae_tpu.core.config import (
+    SpatialGeneratorConfig,
+    VanillaGeneratorConfig,
+)
+from spatialvae_tpu.objectives import ElboConfig, elbo_minibatch
+from spatialvae_tpu.train.metrics import StreamingMeans
+from spatialvae_tpu.transforms.augment import rotate_images_bicubic
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    minibatch_size: int = 100
+    learning_rate: float = 1e-4
+    num_epochs: int = 100
+    z_delay: int = 0
+    augment_rotation: bool = False
+    seed: int = 0
+    compute_dtype: str = "float32"          # 'float32' | 'bfloat16'
+    image_shape: Optional[Tuple[int, int]] = None   # (n, m)
+    channels: int = 1
+
+
+class TrainState(NamedTuple):
+    params: dict           # {'q': ..., 'p': ...}
+    opt_state: object
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
+        else a, tree)
+
+
+class Trainer:
+    """Owns params, optimizer state, and the jitted step/epoch functions."""
+
+    def __init__(self, q_cfg: InferenceConfig, p_cfg, ecfg: ElboConfig,
+                 tcfg: TrainConfig, coords: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None,
+                 param_dtype=jnp.float32):
+        self.q_cfg = q_cfg
+        self.p_cfg = p_cfg
+        self.ecfg = ecfg
+        self.tcfg = tcfg
+        self.coords = jnp.asarray(coords)
+        self.mask = None if mask is None else jnp.asarray(mask)
+
+        key = jax.random.PRNGKey(tcfg.seed)
+        self.base_key, kq, kp = jax.random.split(key, 3)
+        q_params = inference_init(kq, q_cfg, dtype=param_dtype)
+        if isinstance(p_cfg, VanillaGeneratorConfig):
+            p_params = vanilla_generator_init(kp, p_cfg, dtype=param_dtype)
+        else:
+            p_params = spatial_generator_init(kp, p_cfg, dtype=param_dtype)
+
+        self.optimizer = optax.adam(tcfg.learning_rate)
+        params = {"q": q_params, "p": p_params}
+        self.state = TrainState(params, self.optimizer.init(params))
+
+        self._compute_dtype = (jnp.bfloat16
+                               if tcfg.compute_dtype == "bfloat16"
+                               else jnp.float32)
+        self._build_steps()
+
+    # ------------------------------------------------------------------ loss
+    def _loss(self, params, y, ctf, key, z_scale):
+        cd = self._compute_dtype
+        q_params = _cast_tree(params["q"], cd)
+        p_params = _cast_tree(params["p"], cd)
+        y = y.astype(cd)
+        coords = self.coords.astype(cd)
+
+        y_inf = None
+        offsets = None
+        if self.tcfg.augment_rotation and self.ecfg.rotate \
+                and not self.ecfg.vanilla:
+            key, k_off = jax.random.split(key)
+            b = y.shape[0]
+            offsets = jax.random.uniform(k_off, (b,), y.dtype, 0.0,
+                                         2.0 * np.pi)
+            n, m = self.tcfg.image_shape
+            if self.tcfg.channels > 1:
+                imgs = y.reshape(b, n, m, self.tcfg.channels)
+            else:
+                imgs = y.reshape(b, n, m)
+            y_inf = rotate_images_bicubic(imgs, offsets).reshape(y.shape)
+
+        elbo, log_p, kl, _ = elbo_minibatch(
+            q_params, p_params, self.q_cfg, self.p_cfg, self.ecfg,
+            coords, y, key,
+            y_inf=y_inf, offsets=offsets, z_scale=z_scale,
+            ctf=None if ctf is None else ctf.astype(cd),
+            mask=self.mask,
+            image_shape=self.tcfg.image_shape,
+        )
+        loss = -elbo.astype(jnp.float32)
+        aux = jnp.stack([elbo.astype(jnp.float32),
+                         -log_p.astype(jnp.float32),
+                         kl.astype(jnp.float32)])
+        return loss, aux
+
+    # ----------------------------------------------------------------- steps
+    def _build_steps(self):
+        grad_fn = jax.value_and_grad(self._loss, has_aux=True)
+
+        def train_step(state, y, ctf, key, z_scale):
+            (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale)
+            grads = _cast_tree(grads, jnp.float32)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state), aux
+
+        def eval_step(params, y, ctf, key, z_scale):
+            _, aux = self._loss(params, y, ctf, key, z_scale)
+            return aux
+
+        def train_epoch_scan(state, data, ctf_data, idx, key, z_scale):
+            """idx: (num_batches, B) permuted index batches."""
+            def body(carry, ib):
+                st, k = carry
+                k, sub = jax.random.split(k)
+                y = jnp.take(data, ib, axis=0)
+                ctf = (None if ctf_data is None
+                       else jnp.take(ctf_data, ib, axis=0))
+                st, aux = train_step(st, y, ctf, sub, z_scale)
+                return (st, k), aux
+            (state, _), metrics = jax.lax.scan(body, (state, key), idx)
+            return state, metrics
+
+        def eval_epoch_scan(params, data, ctf_data, idx, key, z_scale):
+            def body(k, ib):
+                k, sub = jax.random.split(k)
+                y = jnp.take(data, ib, axis=0)
+                ctf = (None if ctf_data is None
+                       else jnp.take(ctf_data, ib, axis=0))
+                aux = eval_step(params, y, ctf, sub, z_scale)
+                return k, aux
+            _, metrics = jax.lax.scan(body, key, idx)
+            return metrics
+
+        self._train_step = jax.jit(train_step)
+        self._eval_step = jax.jit(eval_step)
+        self._train_epoch_scan = jax.jit(train_epoch_scan)
+        self._eval_epoch_scan = jax.jit(eval_epoch_scan)
+
+    # ---------------------------------------------------------------- epochs
+    def _index_batches(self, n: int, perm: Optional[jax.Array]):
+        b = self.tcfg.minibatch_size
+        num_full = n // b
+        tail = n - num_full * b
+        idx = perm if perm is not None else jnp.arange(n)
+        full_idx = idx[:num_full * b].reshape(num_full, b)
+        tail_idx = idx[num_full * b:] if tail else None
+        return full_idx, tail_idx, num_full, tail
+
+    def train_epoch(self, dataset, epoch: int, *, progress: bool = True,
+                    progress_stream=None) -> Tuple[float, float, float]:
+        """One training epoch; returns (elbo, gen_loss, kl) streaming means."""
+        n = len(dataset)
+        tcfg = self.tcfg
+        z_scale = jnp.asarray(0.0 if epoch < tcfg.z_delay else 1.0,
+                              dtype=jnp.float32)
+        shuffle_key = jax.random.fold_in(self.base_key, 2 * epoch)
+        step_key = jax.random.fold_in(self.base_key, 2 * epoch + 1)
+        perm = jax.random.permutation(shuffle_key, n)
+        full_idx, tail_idx, num_full, tail = self._index_batches(n, perm)
+
+        state = self.state
+        metrics = None
+        if num_full:
+            state, metrics = self._train_epoch_scan(
+                state, dataset.y, dataset.ctf, full_idx, step_key, z_scale)
+        tail_metrics = None
+        if tail:
+            k_tail = jax.random.fold_in(step_key, num_full)
+            y = dataset.y[tail_idx]
+            ctf = None if dataset.ctf is None else dataset.ctf[tail_idx]
+            state, tail_metrics = self._train_step(state, y, ctf, k_tail,
+                                                   z_scale)
+        self.state = state
+
+        acc = StreamingMeans()
+        if metrics is not None:
+            acc.update_array(np.asarray(metrics), tcfg.minibatch_size)
+        if tail_metrics is not None:
+            acc.update(tail, *[float(v) for v in np.asarray(tail_metrics)])
+        if progress:
+            stream = progress_stream or sys.stderr
+            line = acc.progress_line(epoch, tcfg.num_epochs, n)
+            print(line, end="\r", file=stream)
+            print(" " * 80, end="\r", file=stream)
+        return acc.elbo, acc.gen_loss, acc.kl
+
+    def eval_epoch(self, dataset, epoch: int, *, z_scale: float = 1.0
+                   ) -> Tuple[float, float, float]:
+        n = len(dataset)
+        key = jax.random.fold_in(self.base_key, -(epoch + 1))
+        full_idx, tail_idx, num_full, tail = self._index_batches(n, None)
+        zs = jnp.asarray(z_scale, dtype=jnp.float32)
+        acc = StreamingMeans()
+        if num_full:
+            metrics = self._eval_epoch_scan(self.state.params, dataset.y,
+                                            dataset.ctf, full_idx, key, zs)
+            acc.update_array(np.asarray(metrics), self.tcfg.minibatch_size)
+        if tail:
+            k_tail = jax.random.fold_in(key, num_full)
+            y = dataset.y[tail_idx]
+            ctf = None if dataset.ctf is None else dataset.ctf[tail_idx]
+            m = self._eval_step(self.state.params, y, ctf, k_tail, zs)
+            acc.update(tail, *[float(v) for v in np.asarray(m)])
+        return acc.elbo, acc.gen_loss, acc.kl
+
+    # --------------------------------------------------------- display paths
+    def reconstruct(self, y: jax.Array, key: Optional[jax.Array] = None,
+                    z_scale: float = 1.0) -> jax.Array:
+        """Posterior-sample reconstruction (the {E}_{label}.png dump)."""
+        key = key if key is not None else jax.random.fold_in(self.base_key, 7)
+        _, _, _, y_hat = elbo_minibatch(
+            self.state.params["q"], self.state.params["p"], self.q_cfg,
+            self.p_cfg, self.ecfg, self.coords, y, key, z_scale=z_scale,
+            mask=None, image_shape=self.tcfg.image_shape)
+        return y_hat
+
+    def reconstruct_canonical(self, y: jax.Array,
+                              key: Optional[jax.Array] = None,
+                              z_scale: float = 1.0) -> jax.Array:
+        """Pose-stripped reconstruction — rotation/translation latents are
+        dropped before decoding over the untransformed grid
+        (train_mnist.py:93-124 minibatch_for_display)."""
+        b = y.shape[0]
+        key = key if key is not None else jax.random.fold_in(self.base_key, 8)
+        q_params, p_params = self.state.params["q"], self.state.params["p"]
+        z_mu, z_logstd = inference_apply(q_params, self.q_cfg,
+                                         y.reshape(b, -1))
+        r = jax.random.normal(key, z_mu.shape, dtype=z_mu.dtype)
+        z = jnp.exp(z_logstd) * r + z_mu
+        if not self.ecfg.vanilla:
+            if self.ecfg.rotate:
+                z = z[:, 1:]
+            if self.ecfg.translate:
+                z = z[:, 2:]
+        z = z * z_scale
+        if self.ecfg.vanilla:
+            return vanilla_generator_apply(p_params, self.p_cfg, None, z)
+        x = jnp.broadcast_to(self.coords[None], (b,) + self.coords.shape)
+        return spatial_generator_apply(p_params, self.p_cfg, x, z)
+
+    def sample_prior(self, batch_size: int, z_dim: int,
+                     key: Optional[jax.Array] = None,
+                     z_scale: float = 1.0) -> jax.Array:
+        """Decode z ~ N(0, 1) (train_galaxy.py:166-183)."""
+        key = key if key is not None else jax.random.fold_in(self.base_key, 9)
+        z = jax.random.normal(key, (batch_size, z_dim)) * z_scale
+        p_params = self.state.params["p"]
+        if self.ecfg.vanilla:
+            return vanilla_generator_apply(p_params, self.p_cfg, None, z)
+        x = jnp.broadcast_to(self.coords[None],
+                             (batch_size,) + self.coords.shape)
+        return spatial_generator_apply(p_params, self.p_cfg, x, z)

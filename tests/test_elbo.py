@@ -1,0 +1,175 @@
+"""Golden-math tests for the unified ELBO (SURVEY.md section 4.1)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spatialvae_tpu.core.config import (
+    InferenceConfig,
+    SpatialGeneratorConfig,
+    VanillaGeneratorConfig,
+)
+from spatialvae_tpu.models import (
+    inference_init,
+    spatial_generator_init,
+    vanilla_generator_init,
+)
+from spatialvae_tpu.objectives import ElboConfig, elbo_minibatch
+from spatialvae_tpu.transforms.coords import coord_grid
+
+from . import oracles
+
+
+def _np(t):
+    return jax.tree_util.tree_map(np.asarray, t)
+
+
+def _setup(z_dim=2, rotate=True, translate=True, n=8, m=8, channels=1,
+           n_out=1, p_kw=None):
+    inf_dim = z_dim + (1 if rotate else 0) + (2 if translate else 0)
+    q_cfg = InferenceConfig(n=n * m * channels, latent_dim=inf_dim,
+                            hidden_dim=20, num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=20,
+                                   n_out=n_out, num_layers=2, **(p_kw or {}))
+    kq, kp, ky, kr = jax.random.split(jax.random.PRNGKey(0), 4)
+    q_params = inference_init(kq, q_cfg)
+    p_params = spatial_generator_init(kp, p_cfg)
+    shape = (4, n * m, channels) if channels > 1 else (4, n * m)
+    y = jax.random.uniform(ky, shape)
+    r = jax.random.normal(kr, (4, inf_dim))
+    coords = jnp.asarray(coord_grid(n, m))
+    return q_cfg, p_cfg, q_params, p_params, y, r, coords
+
+
+@pytest.mark.parametrize("mean_penalty", [True, False])
+@pytest.mark.parametrize("use_fold", [True, False])
+def test_bernoulli_elbo_matches_oracle(mean_penalty, use_fold):
+    """mnist variant: BCE recon, theta KL with/without the mean term."""
+    q_cfg, p_cfg, qp, pp, y, r, coords = _setup()
+    ecfg = ElboConfig(rotate=True, translate=True, dx_scale=0.1,
+                      theta_prior=np.pi / 4, theta_mean_penalty=mean_penalty,
+                      likelihood="bernoulli", use_fold=use_fold)
+    elbo, logp, kl, _ = elbo_minibatch(qp, pp, q_cfg, p_cfg, ecfg, coords, y,
+                                       None, noise=r)
+    e0, l0, k0 = oracles.elbo_reference(_np(qp), q_cfg, _np(pp), p_cfg, ecfg,
+                                        np.asarray(coords), np.asarray(y),
+                                        np.asarray(r))
+    np.testing.assert_allclose(float(elbo), e0, rtol=1e-4)
+    np.testing.assert_allclose(float(logp), l0, rtol=1e-4)
+    np.testing.assert_allclose(float(kl), k0, rtol=1e-4)
+
+
+def test_gaussian_elbo_matches_oracle():
+    """particles variant: gaussian recon, no mean penalty."""
+    q_cfg, p_cfg, qp, pp, y, r, coords = _setup()
+    ecfg = ElboConfig(theta_prior=np.pi, theta_mean_penalty=False,
+                      likelihood="gaussian")
+    elbo, logp, kl, _ = elbo_minibatch(qp, pp, q_cfg, p_cfg, ecfg, coords, y,
+                                       None, noise=r)
+    e0, l0, k0 = oracles.elbo_reference(_np(qp), q_cfg, _np(pp), p_cfg, ecfg,
+                                        np.asarray(coords), np.asarray(y),
+                                        np.asarray(r))
+    np.testing.assert_allclose(float(elbo), e0, rtol=1e-4)
+    np.testing.assert_allclose(float(logp), l0, rtol=1e-4)
+    np.testing.assert_allclose(float(kl), k0, rtol=1e-4)
+
+
+def test_colored_noise_elbo_matches_oracle():
+    """--fit-noise: n_out=2, interleaved mu/logvar split (reference quirk)."""
+    q_cfg, p_cfg, qp, pp, y, r, coords = _setup(n_out=2)
+    ecfg = ElboConfig(theta_prior=np.pi, likelihood="colored")
+    elbo, logp, kl, _ = elbo_minibatch(qp, pp, q_cfg, p_cfg, ecfg, coords, y,
+                                       None, noise=r)
+    e0, l0, k0 = oracles.elbo_reference(_np(qp), q_cfg, _np(pp), p_cfg, ecfg,
+                                        np.asarray(coords), np.asarray(y),
+                                        np.asarray(r))
+    np.testing.assert_allclose(float(elbo), e0, rtol=1e-4)
+    np.testing.assert_allclose(float(kl), k0, rtol=1e-4)
+
+
+def test_multichannel_elbo_matches_oracle():
+    """galaxy variant: (B, HW, C) targets, BCE x (HW*C)."""
+    q_cfg, p_cfg, qp, pp, y, r, coords = _setup(channels=3, n_out=3)
+    ecfg = ElboConfig(theta_prior=np.pi, likelihood="bernoulli", channels=3)
+    elbo, logp, kl, _ = elbo_minibatch(qp, pp, q_cfg, p_cfg, ecfg, coords, y,
+                                       None, noise=r)
+    e0, l0, k0 = oracles.elbo_reference(_np(qp), q_cfg, _np(pp), p_cfg, ecfg,
+                                        np.asarray(coords), np.asarray(y),
+                                        np.asarray(r))
+    np.testing.assert_allclose(float(elbo), e0, rtol=1e-4)
+
+
+def test_mask_elbo_matches_oracle():
+    """circular pixel mask: masked pixels contribute nothing."""
+    q_cfg, p_cfg, qp, pp, y, r, coords = _setup()
+    n = m = 8
+    yg, xg = np.ogrid[:n, :m]
+    dist = np.sqrt((n / 2 - yg) ** 2 + (m / 2 - xg) ** 2)
+    mask = (dist < min(n, m) / 2).ravel().astype(np.float32)
+    ecfg = ElboConfig(likelihood="gaussian")
+    elbo, logp, kl, _ = elbo_minibatch(qp, pp, q_cfg, p_cfg, ecfg, coords, y,
+                                       None, noise=r, mask=jnp.asarray(mask))
+    e0, l0, k0 = oracles.elbo_reference(_np(qp), q_cfg, _np(pp), p_cfg, ecfg,
+                                        np.asarray(coords), np.asarray(y),
+                                        np.asarray(r), mask=mask)
+    np.testing.assert_allclose(float(elbo), e0, rtol=1e-4)
+
+
+def test_offset_reinjection_matches_oracle():
+    """rotation-augment offsets are added back to theta before the pose."""
+    q_cfg, p_cfg, qp, pp, y, r, coords = _setup()
+    offsets = np.random.RandomState(0).uniform(0, 2 * np.pi, size=4
+                                               ).astype(np.float32)
+    ecfg = ElboConfig(likelihood="gaussian")
+    elbo, _, _, _ = elbo_minibatch(qp, pp, q_cfg, p_cfg, ecfg, coords, y,
+                                   None, noise=r, offsets=jnp.asarray(offsets))
+    e0, _, _ = oracles.elbo_reference(_np(qp), q_cfg, _np(pp), p_cfg, ecfg,
+                                      np.asarray(coords), np.asarray(y),
+                                      np.asarray(r), offsets=offsets)
+    np.testing.assert_allclose(float(elbo), e0, rtol=1e-4)
+
+
+def test_z_scale_zero_zeroes_unstructured_latents():
+    """--z-delay curriculum: z_scale=0 must remove z influence on decode."""
+    q_cfg, p_cfg, qp, pp, y, r, coords = _setup()
+    ecfg = ElboConfig(likelihood="gaussian")
+    e1, _, _, _ = elbo_minibatch(qp, pp, q_cfg, p_cfg, ecfg, coords, y, None,
+                                 noise=r, z_scale=0.0)
+    e0, _, _ = oracles.elbo_reference(_np(qp), q_cfg, _np(pp), p_cfg, ecfg,
+                                      np.asarray(coords), np.asarray(y),
+                                      np.asarray(r), z_scale=0.0)
+    np.testing.assert_allclose(float(e1), e0, rtol=1e-4)
+
+
+def test_vanilla_elbo_matches_oracle():
+    z_dim = 3
+    n = m = 6
+    q_cfg = InferenceConfig(n=n * m, latent_dim=z_dim, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = VanillaGeneratorConfig(n=n * m, latent_dim=z_dim, hidden_dim=16,
+                                   num_layers=2)
+    kq, kp, ky, kr = jax.random.split(jax.random.PRNGKey(1), 4)
+    qp = inference_init(kq, q_cfg)
+    pp = vanilla_generator_init(kp, p_cfg)
+    y = jax.random.uniform(ky, (4, n * m))
+    r = jax.random.normal(kr, (4, z_dim))
+    coords = jnp.asarray(coord_grid(n, m))
+    ecfg = ElboConfig(vanilla=True, likelihood="bernoulli",
+                      theta_mean_penalty=True, theta_prior=np.pi / 4)
+    elbo, _, _, _ = elbo_minibatch(qp, pp, q_cfg, p_cfg, ecfg, coords, y,
+                                   None, noise=r)
+    e0, _, _ = oracles.elbo_reference(_np(qp), q_cfg, _np(pp), p_cfg, ecfg,
+                                      np.asarray(coords), np.asarray(y),
+                                      np.asarray(r))
+    np.testing.assert_allclose(float(elbo), e0, rtol=1e-4)
+
+
+def test_coord_grid_layout():
+    """y axis runs +1 -> -1 top to bottom (train_mnist.py:315-320)."""
+    g = coord_grid(3, 3)
+    np.testing.assert_allclose(g[0], [-1.0, 1.0])    # top-left
+    np.testing.assert_allclose(g[2], [1.0, 1.0])     # top-right
+    np.testing.assert_allclose(g[6], [-1.0, -1.0])   # bottom-left
+    np.testing.assert_allclose(g[4], [0.0, 0.0])     # center
