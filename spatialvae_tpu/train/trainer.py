@@ -238,7 +238,7 @@ class Trainer:
     def eval_epoch(self, dataset, epoch: int, *, z_scale: float = 1.0
                    ) -> Tuple[float, float, float]:
         n = len(dataset)
-        key = jax.random.fold_in(self.base_key, -(epoch + 1))
+        key = jax.random.fold_in(self.base_key, 1_000_000_007 + epoch)
         full_idx, tail_idx, num_full, tail = self._index_batches(n, None)
         zs = jnp.asarray(z_scale, dtype=jnp.float32)
         acc = StreamingMeans()
