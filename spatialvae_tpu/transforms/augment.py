@@ -21,12 +21,16 @@ import jax.numpy as jnp
 
 
 def _cubic_weights(t: jnp.ndarray):
-    """Keys cubic convolution weights, a=-0.5 (PIL/Catmull-Rom).
+    """Cubic convolution weights, a=-1.0 (PIL's affine-transform BICUBIC).
+
+    PIL's resize BICUBIC uses a=-0.5, but rotate() goes through the affine
+    transform path whose cubic kernel uses a=-1.0 — verified against PIL by
+    probing a fractional translation of a delta image.
 
     t in [0,1) is the fractional offset; returns weights for samples at
     offsets (-1, 0, 1, 2) relative to the base index.
     """
-    a = -0.5
+    a = -1.0
 
     def k1(x):   # |x| <= 1
         return (a + 2.0) * x ** 3 - (a + 3.0) * x ** 2 + 1.0
@@ -91,14 +95,15 @@ def rotate_images_bicubic(images: jnp.ndarray, theta: jnp.ndarray
                           indexing="ij")
 
     def one(img, t):
-        # PIL's inverse mapping for rotate(t CCW) in y-down image coords:
-        #   x_in =  cos(t)*(x-cx) + sin(t)*(y-cy) + cx
-        #   y_in = -sin(t)*(x-cx) + cos(t)*(y-cy) + cy
+        # PIL's inverse mapping for rotate(t CCW) in y-down image coords
+        # (verified against PIL.Image.rotate):
+        #   x_in = cos(t)*(x-cx) - sin(t)*(y-cy) + cx
+        #   y_in = sin(t)*(x-cx) + cos(t)*(y-cy) + cy
         c, s = jnp.cos(t), jnp.sin(t)
         xo = xs - cx
         yo = ys - cy
-        xin = c * xo + s * yo + cx
-        yin = -s * xo + c * yo + cy
+        xin = c * xo - s * yo + cx
+        yin = s * xo + c * yo + cy
         return _sample_bicubic(img, xin, yin)
 
     return jax.vmap(one)(images, theta)
