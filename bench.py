@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark on the flagship workload.
+
+Workload: galaxy_zoo configuration (BASELINE.json north star) — 64x64 RGB
+images, z=20, SpatialGenerator p (500 wide, 2 layers), InferenceNetwork q
+(5000 wide, 2 layers) — full training step (forward ELBO + backward + Adam)
+in bfloat16 compute with float32 optimizer state, driven as one lax.scan
+epoch over an in-HBM dataset (zero per-step host round-trips).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 50_000 (the driver-set north-star img/s/chip target;
+the reference publishes no numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 64
+    channels = 3
+    z_dim = 20
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    n_images = batch * 16
+
+    inf_dim = z_dim + 3
+    q_cfg = InferenceConfig(n=n * m * channels, latent_dim=inf_dim,
+                            hidden_dim=5000, num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=500,
+                                   n_out=channels, num_layers=2)
+    ecfg = ElboConfig(rotate=True, translate=True, theta_prior=np.pi,
+                      likelihood="bernoulli", channels=channels)
+    tcfg = TrainConfig(minibatch_size=batch, learning_rate=1e-4,
+                       num_epochs=3, seed=0, compute_dtype="bfloat16",
+                       image_shape=(n, m), channels=channels)
+    trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m))
+
+    key = jax.random.PRNGKey(0)
+    y = jax.random.uniform(key, (n_images, n * m, channels),
+                           dtype=jnp.float32)
+    dataset = ArrayDataset(y)
+
+    # warmup epoch (compile)
+    trainer.train_epoch(dataset, 0, progress=False)
+
+    steps_per_epoch = n_images // batch
+    epochs = 3
+    t0 = time.perf_counter()
+    for e in range(1, 1 + epochs):
+        trainer.train_epoch(dataset, e, progress=False)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = epochs * n_images / dt
+    result = {
+        "metric": "train images/sec/chip (galaxy_zoo 64px z=20, bf16)",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / 50_000.0, 4),
+    }
+    print(json.dumps(result))
+    print(f"# batch={batch} steps/epoch={steps_per_epoch} epochs={epochs} "
+          f"wall={dt:.2f}s step={dt / (epochs * steps_per_epoch) * 1e3:.1f}ms",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Distributed tests on the virtual 8-device CPU mesh (SURVEY.md 4.6)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spatialvae_tpu.parallel import MeshConfig, create_mesh
+from spatialvae_tpu.parallel.sharding import (
+    batch_sharding,
+    param_shardings,
+    set_activation_sharding,
+    shard_params,
+)
+
+
+def _small_trainer(batch=16):
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 8
+    q_cfg = InferenceConfig(n=n * m, latent_dim=5, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, num_layers=2)
+    ecfg = ElboConfig(likelihood="bernoulli", theta_prior=np.pi)
+    tcfg = TrainConfig(minibatch_size=batch, num_epochs=1, seed=0,
+                       image_shape=(n, m))
+    t = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m))
+    key = jax.random.PRNGKey(3)
+    y = jax.random.uniform(key, (batch, n * m))
+    return t, y, key
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_param_shardings_mark_q_first_layer():
+    mesh = create_mesh(MeshConfig(data=4, model=2))
+    t, _, _ = _small_trainer()
+    shardings = param_shardings(t.state.params, mesh)
+    s = shardings["q"]["layers"][0]["w"]
+    assert s.spec == jax.sharding.PartitionSpec(None, "model")
+    # everything else replicated
+    assert shardings["p"]["coord"]["w"].spec == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.parametrize("mesh_cfg", [MeshConfig(data=8, model=1),
+                                      MeshConfig(data=4, model=2)])
+def test_sharded_step_matches_single_chip(mesh_cfg):
+    """The pjit'd train step on an 8-device mesh must produce the same loss
+    and metrics as the single-device step (up to reduction reordering)."""
+    from spatialvae_tpu.train.trainer import TrainState
+
+    t, y, key = _small_trainer()
+    z = jnp.asarray(1.0, jnp.float32)
+
+    # single-chip reference
+    state1, m1 = t._train_step(t.state, y, None, key, z)
+
+    mesh = create_mesh(mesh_cfg)
+    set_activation_sharding(mesh)
+    try:
+        params = shard_params(t.state.params, mesh)
+        opt_state = jax.jit(t.optimizer.init)(params)
+        state = TrainState(params, opt_state)
+        ys = jax.device_put(y, batch_sharding(mesh))
+        state8, m8 = t._train_step(state, ys, None, key, z)
+    finally:
+        set_activation_sharding(None)
+
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m8),
+                               rtol=1e-4, atol=1e-5)
+    # parameters after one update agree too
+    w1 = np.asarray(state1.params["q"]["layers"][0]["w"])
+    w8 = np.asarray(state8.params["q"]["layers"][0]["w"])
+    np.testing.assert_allclose(w1, w8, rtol=1e-4, atol=1e-5)
+
+
+def test_dryrun_multichip_runs():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    loss, aux = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))
