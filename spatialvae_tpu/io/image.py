@@ -59,7 +59,15 @@ def normalize(stack: np.ndarray, radius: float | None = None) -> np.ndarray:
 
 def normalize_whole(stack: np.ndarray) -> np.ndarray:
     """Per-image whole-image standardisation — the variant the particles
-    trainer actually uses (train_particles.py:339-347)."""
+    trainer actually uses (train_particles.py:339-347).
+
+    Uses the native multithreaded kernel when built
+    (spatialvae_tpu/native), numpy otherwise."""
+    from spatialvae_tpu import native
+
+    out = np.ascontiguousarray(stack, dtype=np.float32).copy()
+    if native.normalize_whole_inplace(out):
+        return out
     flat = stack.reshape(stack.shape[0], -1)
     mu = flat.mean(axis=1)[:, None, None]
     std = flat.std(axis=1)[:, None, None]

@@ -34,21 +34,26 @@ def save_image_grid(data: np.ndarray, output: str, image_dims,
         nrow = int(b ** 0.5)                          # misc_tools.py:38
     xmaps = min(nrow, b)
     ymaps = int(math.ceil(b / xmaps))
-    cell_h, cell_w = n + padding, m + padding
-    grid = np.full((cell_h * ymaps + padding, cell_w * xmaps + padding, c),
-                   pad_value, dtype=np.float32)
-    k = 0
-    for gy in range(ymaps):
-        for gx in range(xmaps):
-            if k >= b:
-                break
-            top = gy * cell_h + padding
-            left = gx * cell_w + padding
-            grid[top:top + n, left:left + m] = imgs[k]
-            k += 1
 
-    # torchvision quantisation: mul(255).add_(0.5).clamp_(0,255).byte()
-    out8 = np.clip(grid * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    from spatialvae_tpu import native
+
+    out8 = native.grid_tile(imgs, xmaps, ymaps, padding, pad_value)
+    if out8 is None:                                  # pure-Python fallback
+        cell_h, cell_w = n + padding, m + padding
+        grid = np.full(
+            (cell_h * ymaps + padding, cell_w * xmaps + padding, c),
+            pad_value, dtype=np.float32)
+        k = 0
+        for gy in range(ymaps):
+            for gx in range(xmaps):
+                if k >= b:
+                    break
+                top = gy * cell_h + padding
+                left = gx * cell_w + padding
+                grid[top:top + n, left:left + m] = imgs[k]
+                k += 1
+        # torchvision quantisation: mul(255).add_(0.5).clamp_(0,255).byte()
+        out8 = np.clip(grid * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
     os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
     from PIL import Image
