@@ -47,12 +47,52 @@ def add_common_extras(parser: argparse.ArgumentParser):
             help="model/pixel mesh axis size for multi-chip runs (additive)")
     add_arg(parser, "--no-fused", action="store_true",
             help="disable the fused Pallas decoder kernel (additive)")
+    add_arg(parser, "--debug-nans", action="store_true",
+            help="enable jax debug_nans checking (additive)")
+    add_arg(parser, "--resume-generator", default=None,
+            help="resume: load generator params from this checkpoint "
+                 "(additive; the reference has no resume path)")
+    add_arg(parser, "--resume-inference", default=None,
+            help="resume: load inference-net params from this checkpoint "
+                 "(additive)")
+
+
+def _use_fused(args) -> bool:
+    """Enable the fused Pallas decoder on TPU unless --no-fused."""
+    if getattr(args, "no_fused", False):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def maybe_resume(trainer, args) -> None:
+    """Load generator/inference params from checkpoints into the trainer."""
+    from spatialvae_tpu.train.checkpoint import load_model
+    from spatialvae_tpu.train.trainer import TrainState
+
+    params = dict(trainer.state.params)
+    if getattr(args, "resume_generator", None):
+        p, _, kind = load_model(args.resume_generator)
+        assert kind == "generator", args.resume_generator
+        params["p"] = p
+        print(f"# resumed generator from {args.resume_generator}")
+    if getattr(args, "resume_inference", None):
+        p, _, kind = load_model(args.resume_inference)
+        assert kind == "inference", args.resume_inference
+        params["q"] = p
+        print(f"# resumed inference net from {args.resume_inference}")
+    trainer.state = TrainState(params, trainer.optimizer.init(params))
 
 
 @contextlib.contextmanager
-def device_context(device_flag: int, matmul_precision: str = "highest"):
+def device_context(device_flag: int, matmul_precision: str = "highest",
+                   debug_nans: bool = False):
     """Map the reference's -d flag onto JAX device selection."""
     jax.config.update("jax_default_matmul_precision", matmul_precision)
+    if debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if device_flag == -1:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):

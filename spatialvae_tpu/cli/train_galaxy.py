@@ -24,6 +24,8 @@ import sys
 import numpy as np
 
 from spatialvae_tpu.cli.common import (
+    _use_fused,
+    maybe_resume,
     add_arg,
     add_common_extras,
     device_context,
@@ -176,7 +178,8 @@ def run(args):
     y_val = images_val.reshape(-1, n * m, channels)
     coords = coord_grid(n, m)
 
-    with device_context(args.device, args.matmul_precision):
+    with device_context(args.device, args.matmul_precision,
+                        args.debug_nans):
         z_dim = args.z_dim
         print("# training with z-dim:", z_dim, file=sys.stderr)
 
@@ -223,7 +226,7 @@ def run(args):
                           theta_prior=args.theta_prior,
                           theta_mean_penalty=False,  # train_galaxy.py:99
                           likelihood="bernoulli", channels=channels,
-                          vanilla=args.vanilla)
+                          vanilla=args.vanilla, fused=_use_fused(args))
         tcfg = TrainConfig(minibatch_size=args.minibatch_size,
                            learning_rate=args.learning_rate,
                            num_epochs=num_epochs, z_delay=args.z_delay,
@@ -231,6 +234,7 @@ def run(args):
                            seed=args.seed, compute_dtype=args.compute_dtype,
                            image_shape=(n, m), channels=channels)
         trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords)
+        maybe_resume(trainer, args)
 
         data_train = ArrayDataset(jnp.asarray(y_train))
         data_val = ArrayDataset(jnp.asarray(y_val))

@@ -16,6 +16,8 @@ import sys
 import numpy as np
 
 from spatialvae_tpu.cli.common import (
+    _use_fused,
+    maybe_resume,
     add_arg,
     add_common_extras,
     device_context,
@@ -154,7 +156,8 @@ def run(args):
     from spatialvae_tpu.transforms.coords import coord_grid
     coords = coord_grid(n, m)
 
-    with device_context(args.device, args.matmul_precision):
+    with device_context(args.device, args.matmul_precision,
+                        args.debug_nans):
         z_dim = args.z_dim
         print("# training with z-dim:", z_dim, file=sys.stderr)
 
@@ -198,13 +201,15 @@ def run(args):
                           dx_scale=args.dx_scale,
                           theta_prior=args.theta_prior,
                           theta_mean_penalty=True,   # train_mnist.py:63
-                          likelihood="bernoulli", vanilla=args.vanilla)
+                          likelihood="bernoulli", vanilla=args.vanilla,
+                          fused=_use_fused(args))
         tcfg = TrainConfig(minibatch_size=args.minibatch_size,
                            learning_rate=args.learning_rate,
                            num_epochs=num_epochs, seed=args.seed,
                            compute_dtype=args.compute_dtype,
                            image_shape=(n, m))
         trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords)
+        maybe_resume(trainer, args)
 
         data_train = ArrayDataset(jnp.asarray(y_train))
         data_test = ArrayDataset(jnp.asarray(y_test))

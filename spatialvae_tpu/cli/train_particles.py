@@ -18,6 +18,8 @@ import sys
 import numpy as np
 
 from spatialvae_tpu.cli.common import (
+    _use_fused,
+    maybe_resume,
     add_arg,
     add_common_extras,
     device_context,
@@ -184,7 +186,8 @@ def run(args):
         mask = (dist < radius).ravel().astype(np.float32)
         print("# masking to size:", int(mask.sum()), file=sys.stderr)
 
-    with device_context(args.device, args.matmul_precision):
+    with device_context(args.device, args.matmul_precision,
+                        args.debug_nans):
         z_dim = args.z_dim
         print("# training with z-dim:", z_dim, file=sys.stderr)
 
@@ -232,7 +235,8 @@ def run(args):
                           dx_scale=args.dx_scale,
                           theta_prior=args.theta_prior,
                           theta_mean_penalty=False,  # train_particles.py:86
-                          likelihood=likelihood, vanilla=args.vanilla)
+                          likelihood=likelihood, vanilla=args.vanilla,
+                          fused=_use_fused(args))
         tcfg = TrainConfig(minibatch_size=args.minibatch_size,
                            learning_rate=args.learning_rate,
                            num_epochs=num_epochs, z_delay=args.z_delay,
@@ -241,6 +245,7 @@ def run(args):
                            image_shape=(n, m))
         trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords,
                           mask=None if mask is None else jnp.asarray(mask))
+        maybe_resume(trainer, args)
 
         data_train = ArrayDataset(
             jnp.asarray(y_train),

@@ -1,0 +1,301 @@
+"""Fused Pallas decoder tail — the north-star kernel (BASELINE.json).
+
+The spatial generator's hot path is, per (image b, pixel p):
+
+    h0 = x0[p]*w0[b] + x1[p]*w1[b] + c[b]        # pose-folded first layer
+    a0 = tanh(h0)
+    h1 = a0 @ W1 + b1                            # (H,H) hidden GEMM
+    a1 = tanh(h1)
+    y  = sigmoid(a1 @ Wh + bh)                   # (H,n_out) head
+
+where (w0, w1, c) already encode the reparameterised rotation, translation
+and latent contribution (models/spatial.py fold).  Under plain XLA the
+(B, HW, H) activations h0/a0/h1/a1 round-trip HBM between GEMMs — at galaxy
+scale (B=256, HW=4096, H=512) that is ~1 GB per tensor per direction and the
+step is HBM-bound.  This kernel keeps every intermediate in VMEM:
+
+- forward: grid (B, HW/Pt); each step builds h0 for a (Pt, H) tile with two
+  lane-broadcast FMAs, runs both GEMMs on the MXU with f32 accumulation, and
+  writes only the (Pt, n_out) output tile.
+- backward (custom VJP): the same tiling, recomputing a0/a1 in VMEM
+  (flash-attention-style rematerialisation) and accumulating dW1/db1/dWh/dbh
+  into constant-index output blocks across the sequential TPU grid, plus the
+  per-image (dw0, dw1, dc) fold gradients.
+
+Gradients w.r.t. theta/dx/z/coord_linear/latent_linear then flow through the
+fold's own (cheap) autodiff in XLA.
+
+Supported shape family: the foldable SpatialGenerator with one hidden layer
+(num_layers=2 — the default in every reference CLI) and no resid.  Other
+configs use the XLA path (objectives/elbo.py chooses automatically).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spatialvae_tpu.core.config import SpatialGeneratorConfig
+
+
+def can_fuse_decoder(cfg: SpatialGeneratorConfig, hw: int) -> bool:
+    return (not cfg.expand_coords and not cfg.bilinear and not cfg.resid
+            and cfg.num_layers == 2 and hw % 256 == 0)
+
+
+def _pick_tile(hw: int) -> int:
+    for t in (2048, 1024, 512, 256):
+        if hw % t == 0:
+            return t
+    return hw
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(x_ref, f_ref, w1_ref, b1_ref, wh_ref, bh_ref, y_ref):
+    """One (image, pixel-tile) grid step.
+
+    x_ref: (Pt, 2) coords; f_ref: (1, 4, H) folded rows [w0, w1, c, 0];
+    w1_ref: (H, H); b1_ref: (1, H); wh_ref: (H, No); bh_ref: (1, No);
+    y_ref: (1, Pt, No) output tile.
+    """
+    x0 = x_ref[:, 0:1]                         # (Pt, 1)
+    x1 = x_ref[:, 1:2]
+    w0 = f_ref[0, 0:1, :]                      # (1, H)
+    w1f = f_ref[0, 1:2, :]
+    c = f_ref[0, 2:3, :]
+
+    h0 = x0 * w0 + x1 * w1f + c                # (Pt, H) lane-broadcast FMAs
+    a0 = jnp.tanh(h0)
+    h1 = jnp.dot(a0.astype(w1_ref.dtype), w1_ref[:, :],
+                 preferred_element_type=jnp.float32) + b1_ref[0:1, :]
+    a1 = jnp.tanh(h1)
+    z2 = jnp.dot(a1.astype(wh_ref.dtype), wh_ref[:, :],
+                 preferred_element_type=jnp.float32) + bh_ref[0:1, :]
+    y_ref[0] = jax.nn.sigmoid(z2)
+
+
+def _fwd_pallas(fold, coords, w1, b1, wh, bh):
+    b, _, h = fold.shape
+    hw = coords.shape[0]
+    n_out = wh.shape[1]
+    pt = _pick_tile(hw)
+    grid = (b, hw // pt)
+
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, n_out), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_out), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, pt, n_out), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hw, n_out), jnp.float32),
+    )(coords, fold, w1, b1, wh, bh)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(x_ref, f_ref, w1_ref, wh_ref, b1_ref, bh_ref, g_ref,
+                df_ref, dw1_ref, db1_ref, dwh_ref, dbh_ref):
+    """Recompute forward for the tile, then accumulate all gradients.
+
+    g_ref: (1, Pt, No) cotangent of y.  Accumulators dw1/db1/dwh/dbh use a
+    constant index map — the TPU grid runs sequentially, so += is safe.
+    df_ref (1, 4, H) accumulates over the pixel-tile axis per image.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    x0 = x_ref[:, 0:1]
+    x1 = x_ref[:, 1:2]
+
+    w0r = f_ref[0, 0:1, :]
+    w1r = f_ref[0, 1:2, :]
+    cr = f_ref[0, 2:3, :]
+
+    # recompute forward in VMEM
+    h0 = x0 * w0r + x1 * w1r + cr
+    a0 = jnp.tanh(h0)
+    a0c = a0.astype(w1_ref.dtype)
+    h1 = jnp.dot(a0c, w1_ref[:, :],
+                 preferred_element_type=jnp.float32) + b1_ref[0:1, :]
+    a1 = jnp.tanh(h1)
+    a1c = a1.astype(wh_ref.dtype)
+    z2 = jnp.dot(a1c, wh_ref[:, :],
+                 preferred_element_type=jnp.float32) + bh_ref[0:1, :]
+    s = jax.nn.sigmoid(z2)
+
+    g = g_ref[0]                               # (Pt, No) f32
+    dz2 = g * s * (1.0 - s)                    # sigmoid'
+    dz2c = dz2.astype(wh_ref.dtype)
+
+    # head grads
+    dwh = jnp.dot(a1c.T, dz2c, preferred_element_type=jnp.float32)
+    dbh = jnp.sum(dz2, axis=0, keepdims=True)
+    da1 = jnp.dot(dz2c, wh_ref[:, :].T, preferred_element_type=jnp.float32)
+
+    dh1 = da1 * (1.0 - a1 * a1)                # tanh'
+    dh1c = dh1.astype(w1_ref.dtype)
+    dw1 = jnp.dot(a0c.T, dh1c, preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dh1, axis=0, keepdims=True)
+    da0 = jnp.dot(dh1c, w1_ref[:, :].T, preferred_element_type=jnp.float32)
+
+    dh0 = da0 * (1.0 - a0 * a0)                # (Pt, H)
+    dw0r = jnp.sum(x0 * dh0, axis=0, keepdims=True)    # (1, H)
+    dw1r = jnp.sum(x1 * dh0, axis=0, keepdims=True)
+    dcr = jnp.sum(dh0, axis=0, keepdims=True)
+    dfold = jnp.concatenate([dw0r, dw1r, dcr,
+                             jnp.zeros_like(dcr)], axis=0)[None]  # (1,4,H)
+
+    first_step = jnp.logical_and(i == 0, j == 0)
+
+    @pl.when(first_step)
+    def _():
+        dw1_ref[:, :] = dw1
+        db1_ref[:, :] = db1
+        dwh_ref[:, :] = dwh
+        dbh_ref[:, :] = dbh
+
+    @pl.when(jnp.logical_not(first_step))
+    def _():
+        dw1_ref[:, :] += dw1
+        db1_ref[:, :] += db1
+        dwh_ref[:, :] += dwh
+        dbh_ref[:, :] += dbh
+
+    @pl.when(j == 0)
+    def _():
+        df_ref[:, :, :] = dfold
+
+    @pl.when(j != 0)
+    def _():
+        df_ref[:, :, :] += dfold
+
+
+def _bwd_pallas(fold, coords, w1, b1, wh, bh, g):
+    b, _, h = fold.shape
+    hw = coords.shape[0]
+    n_out = wh.shape[1]
+    pt = _pick_tile(hw)
+    grid = (b, hw // pt)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, 4, h), jnp.float32),      # dfold
+        jax.ShapeDtypeStruct((h, h), jnp.float32),         # dW1
+        jax.ShapeDtypeStruct((1, h), jnp.float32),         # db1
+        jax.ShapeDtypeStruct((h, n_out), jnp.float32),     # dWh
+        jax.ShapeDtypeStruct((1, n_out), jnp.float32),     # dbh
+    )
+    out_specs = (
+        pl.BlockSpec((1, 4, h), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, n_out), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_out), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, n_out), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_out), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pt, n_out), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+    )(coords, fold, w1, wh, b1, bh, g)
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def fused_decoder_tail(fold: jnp.ndarray, coords: jnp.ndarray,
+                       w1: jnp.ndarray, b1: jnp.ndarray,
+                       wh: jnp.ndarray, bh: jnp.ndarray) -> jnp.ndarray:
+    """fold: (B, 4, H) rows [w0, w1, c, unused]; coords: (HW, 2);
+    w1: (H, H); b1: (H,); wh: (H, n_out); bh: (n_out,).
+    Returns sigmoid head output (B, HW, n_out) float32."""
+    return _fwd_pallas(fold, coords, w1, b1[None, :], wh, bh[None, :])
+
+
+def _vjp_fwd(fold, coords, w1, b1, wh, bh):
+    y = _fwd_pallas(fold, coords, w1, b1[None, :], wh, bh[None, :])
+    return y, (fold, coords, w1, b1, wh, bh)
+
+
+def _vjp_bwd(res, g):
+    fold, coords, w1, b1, wh, bh = res
+    dfold, dw1, db1, dwh, dbh = _bwd_pallas(
+        fold, coords, w1, b1[None, :], wh, bh[None, :],
+        g.astype(jnp.float32))
+    return (dfold.astype(fold.dtype), None, dw1.astype(w1.dtype),
+            db1[0].astype(b1.dtype), dwh.astype(wh.dtype),
+            dbh[0].astype(bh.dtype))
+
+
+fused_decoder_tail.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# integration helper
+# ---------------------------------------------------------------------------
+
+
+def fused_spatial_generator(params, cfg: SpatialGeneratorConfig,
+                            coords: jnp.ndarray, theta, dx, z) -> jnp.ndarray:
+    """Drop-in replacement for spatial_generator_apply_folded using the
+    fused kernel.  Pose fold + optional softplus stay in XLA (cheap, and the
+    fold's autodiff provides dtheta/ddx/dz/dcoord/dlatent)."""
+    from spatialvae_tpu.models.spatial import fold_pose_into_first_layer
+
+    w0, w1f, c = fold_pose_into_first_layer(params, cfg, theta, dx, z)
+    zeros = jnp.zeros_like(c)
+    fold = jnp.stack([w0, w1f, c, zeros], axis=1)      # (B, 4, H)
+    hidden = params["layers"][0]
+    head = params["layers"][1]
+    y = fused_decoder_tail(fold, coords.astype(jnp.float32),
+                           hidden["w"], hidden["b"], head["w"], head["b"])
+    if cfg.softplus:
+        y = jnp.concatenate(
+            [jax.nn.softplus(y[..., :1]), y[..., 1:]], axis=-1)
+    return y

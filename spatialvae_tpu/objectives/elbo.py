@@ -62,6 +62,7 @@ class ElboConfig:
     channels: int = 1
     vanilla: bool = False
     use_fold: bool = True
+    fused: bool = False                    # Pallas fused decoder tail (TPU)
     fit_noise_interleaved: bool = True
 
 
@@ -144,8 +145,20 @@ def elbo_minibatch(
     if ecfg.vanilla:
         y_hat = vanilla_generator_apply(p_params, p_cfg, None, z)
     elif ecfg.use_fold and can_fold(p_cfg):
-        y_hat = spatial_generator_apply_folded(p_params, p_cfg, coords,
-                                               theta, dx, z)
+        if ecfg.fused:
+            from spatialvae_tpu.kernels.fused_decoder import (
+                can_fuse_decoder,
+                fused_spatial_generator,
+            )
+            if can_fuse_decoder(p_cfg, coords.shape[0]):
+                y_hat = fused_spatial_generator(p_params, p_cfg, coords,
+                                                theta, dx, z)
+            else:
+                y_hat = spatial_generator_apply_folded(p_params, p_cfg,
+                                                       coords, theta, dx, z)
+        else:
+            y_hat = spatial_generator_apply_folded(p_params, p_cfg, coords,
+                                                   theta, dx, z)
     else:
         x = jnp.broadcast_to(coords[None], (b,) + coords.shape)
         if theta is not None:

@@ -184,7 +184,11 @@ class Trainer:
 
         self._train_step = jax.jit(train_step)
         self._eval_step = jax.jit(eval_step)
-        self._train_epoch_scan = jax.jit(train_epoch_scan)
+        # donate the TrainState into the epoch scan so params/opt-state
+        # update in place in HBM across epochs (the state flows linearly
+        # through train_epoch; the plain step stays undonated because tests
+        # and the multichip dryrun reuse their input state)
+        self._train_epoch_scan = jax.jit(train_epoch_scan, donate_argnums=0)
         self._eval_epoch_scan = jax.jit(eval_epoch_scan)
 
     # ---------------------------------------------------------------- epochs

@@ -1,0 +1,94 @@
+"""Fused Pallas decoder vs the XLA folded path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from spatialvae_tpu.core.config import SpatialGeneratorConfig
+from spatialvae_tpu.kernels.fused_decoder import (
+    can_fuse_decoder,
+    fused_spatial_generator,
+)
+from spatialvae_tpu.models import spatial_generator_init
+from spatialvae_tpu.models.spatial import spatial_generator_apply_folded
+from spatialvae_tpu.transforms.coords import coord_grid
+
+
+def _setup(n_out=3, h=32, n=16, m=16, b=4, z_dim=5):
+    cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=h, n_out=n_out,
+                                 num_layers=2)
+    params = spatial_generator_init(jax.random.PRNGKey(0), cfg)
+    coords = jnp.asarray(coord_grid(n, m))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    theta = jax.random.normal(k1, (b,))
+    dx = 0.1 * jax.random.normal(k2, (b, 2))
+    z = jax.random.normal(k3, (b, z_dim))
+    return cfg, params, coords, theta, dx, z
+
+
+def test_can_fuse_decoder_gating():
+    good = SpatialGeneratorConfig(latent_dim=2, hidden_dim=500, num_layers=2)
+    assert can_fuse_decoder(good, 4096)
+    assert not can_fuse_decoder(good, 100)         # unaligned HW
+    for bad in (
+        SpatialGeneratorConfig(latent_dim=2, num_layers=3),
+        SpatialGeneratorConfig(latent_dim=2, num_layers=2, resid=True),
+        SpatialGeneratorConfig(latent_dim=2, num_layers=2,
+                               expand_coords=True),
+        SpatialGeneratorConfig(latent_dim=2, num_layers=2, bilinear=True),
+    ):
+        assert not can_fuse_decoder(bad, 4096)
+
+
+def test_fused_forward_matches_xla():
+    cfg, params, coords, theta, dx, z = _setup()
+    with pltpu.force_tpu_interpret_mode():
+        y_fused = fused_spatial_generator(params, cfg, coords, theta, dx, z)
+    y_ref = spatial_generator_apply_folded(params, cfg, coords, theta, dx, z)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_forward_softplus_and_no_pose():
+    cfg, params, coords, theta, dx, z = _setup()
+    import dataclasses
+
+    cfg_sp = dataclasses.replace(cfg, softplus=True)
+    with pltpu.force_tpu_interpret_mode():
+        y1 = fused_spatial_generator(params, cfg_sp, coords, theta, dx, z)
+        y2 = fused_spatial_generator(params, cfg, coords, None, None, z)
+    r1 = spatial_generator_apply_folded(params, cfg_sp, coords, theta, dx, z)
+    r2 = spatial_generator_apply_folded(params, cfg, coords, None, None, z)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(r1), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(r2), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_fused_gradients_match_xla():
+    """Custom-VJP backward (recompute + grid accumulation) must match XLA
+    autodiff through the folded path for every input."""
+    cfg, params, coords, theta, dx, z = _setup()
+
+    def loss_fused(params, theta, dx, z):
+        y = fused_spatial_generator(params, cfg, coords, theta, dx, z)
+        return jnp.sum(jnp.sin(3.0 * y))       # nontrivial cotangent
+
+    def loss_ref(params, theta, dx, z):
+        y = spatial_generator_apply_folded(params, cfg, coords, theta, dx, z)
+        return jnp.sum(jnp.sin(3.0 * y))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+            params, theta, dx, z)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(params, theta, dx, z)
+
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    assert len(flat_f) == len(flat_r)
+    for a, b in zip(flat_f, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
