@@ -21,7 +21,8 @@ import time
 import numpy as np
 
 
-def main():
+def run_bench(batch: int, fused: bool, epochs: int = 3,
+              steps_per_epoch: int = 16) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -37,8 +38,7 @@ def main():
     n = m = 64
     channels = 3
     z_dim = 20
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    n_images = batch * 16
+    n_images = batch * steps_per_epoch
 
     inf_dim = z_dim + 3
     q_cfg = InferenceConfig(n=n * m * channels, latent_dim=inf_dim,
@@ -46,7 +46,7 @@ def main():
     p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=500,
                                    n_out=channels, num_layers=2)
     ecfg = ElboConfig(rotate=True, translate=True, theta_prior=np.pi,
-                      likelihood="bernoulli", channels=channels)
+                      likelihood="bernoulli", channels=channels, fused=fused)
     tcfg = TrainConfig(minibatch_size=batch, learning_rate=1e-4,
                        num_epochs=3, seed=0, compute_dtype="bfloat16",
                        image_shape=(n, m), channels=channels)
@@ -57,17 +57,42 @@ def main():
                            dtype=jnp.float32)
     dataset = ArrayDataset(y)
 
-    # warmup epoch (compile)
-    trainer.train_epoch(dataset, 0, progress=False)
+    t0 = time.perf_counter()
+    trainer.train_epoch(dataset, 0, progress=False)   # warmup (compile)
+    compile_s = time.perf_counter() - t0
 
-    steps_per_epoch = n_images // batch
-    epochs = 3
     t0 = time.perf_counter()
     for e in range(1, 1 + epochs):
         trainer.train_epoch(dataset, e, progress=False)
     dt = time.perf_counter() - t0
 
     images_per_sec = epochs * n_images / dt
+    print(f"# fused={fused} batch={batch} steps/epoch={steps_per_epoch} "
+          f"epochs={epochs} compile={compile_s:.1f}s wall={dt:.2f}s "
+          f"step={dt / (epochs * steps_per_epoch) * 1e3:.1f}ms",
+          file=sys.stderr)
+    return images_per_sec
+
+
+def main():
+    import jax
+
+    batch = 256
+    fused = jax.default_backend() == "tpu"
+    compare = False
+    for a in sys.argv[1:]:
+        if a == "--no-fused":
+            fused = False
+        elif a == "--compare":
+            compare = True
+        else:
+            batch = int(a)
+
+    if compare:
+        xla = run_bench(batch, fused=False)
+        print(f"# XLA path: {xla:.0f} img/s", file=sys.stderr)
+    images_per_sec = run_bench(batch, fused=fused)
+
     result = {
         "metric": "train images/sec/chip (galaxy_zoo 64px z=20, bf16)",
         "value": round(images_per_sec, 1),
@@ -75,9 +100,6 @@ def main():
         "vs_baseline": round(images_per_sec / 50_000.0, 4),
     }
     print(json.dumps(result))
-    print(f"# batch={batch} steps/epoch={steps_per_epoch} epochs={epochs} "
-          f"wall={dt:.2f}s step={dt / (epochs * steps_per_epoch) * 1e3:.1f}ms",
-          file=sys.stderr)
 
 
 if __name__ == "__main__":

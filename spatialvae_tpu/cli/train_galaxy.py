@@ -250,9 +250,13 @@ def run(args):
         train_results, val_results = [], []
         train_lines, val_lines = [header], [header]
 
+        import jax
+
         for epoch in range(num_epochs):
             z_scale = 0.0 if epoch < args.z_delay else 1.0
             epoch_str = str(epoch + 1).zfill(digits)
+            if args.profile_dir and epoch == 1:
+                jax.profiler.start_trace(args.profile_dir)
             tr = trainer.train_epoch(data_train, epoch)
             row = [epoch, *tr]
             train_results.append(row)
@@ -270,6 +274,8 @@ def run(args):
             line = "\t".join(map(str, row))
             val_lines.append(line)
             print(line, flush=True)
+            if args.profile_dir and epoch == 1:
+                jax.profiler.stop_trace()
 
         save_trained_models(args.save_prefix, num_epochs - 1, digits, 1,
                             outputs.trained_dir,

@@ -256,8 +256,12 @@ def run(args):
 
         print("\t".join(["Epoch", "Split", "ELBO", "Error", "KL"]))
 
+        import jax
+
         for epoch in range(num_epochs):
             z_scale = 0.0 if epoch < args.z_delay else 1.0
+            if args.profile_dir and epoch == 1:
+                jax.profiler.start_trace(args.profile_dir)
             tr = trainer.train_epoch(data_train, epoch)
             print("\t".join([str(epoch + 1), "train", *map(str, tr)]),
                   flush=True)
@@ -271,6 +275,8 @@ def run(args):
                                 args.save_interval, None,
                                 trainer.state.params["p"], p_cfg,
                                 trainer.state.params["q"], q_cfg)
+            if args.profile_dir and epoch == 1:
+                jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":

@@ -46,27 +46,11 @@ def epoch_batches(key: Optional[jax.Array], n: int, batch_size: int
 
     Returns (perm, num_full_batches, tail_size).  perm is None when key is
     None (evaluation order is sequential, DataLoader default for val
-    iterators, train_mnist.py:396).
+    iterators, train_mnist.py:396).  The trainer scans over index batches
+    drawn from perm; the per-step gather happens on device inside the scan
+    body, so the permuted dataset copy never materialises.
     """
     perm = None if key is None else jax.random.permutation(key, n)
     num_full = n // batch_size
     tail = n - num_full * batch_size
     return perm, num_full, tail
-
-
-def gather_batches(data: jax.Array, perm: Optional[jax.Array], num_full: int,
-                   batch_size: int) -> jax.Array:
-    """Stack the full batches as (num_full, batch_size, ...) for lax.scan."""
-    take = num_full * batch_size
-    sel = data[perm[:take]] if perm is not None else data[:take]
-    return sel.reshape((num_full, batch_size) + data.shape[1:])
-
-
-def tail_batch(data: jax.Array, perm: Optional[jax.Array], num_full: int,
-               batch_size: int, tail: int) -> Optional[jax.Array]:
-    if tail == 0:
-        return None
-    start = num_full * batch_size
-    if perm is not None:
-        return data[perm[start:start + tail]]
-    return data[start:start + tail]

@@ -1,0 +1,39 @@
+"""CLI plumbing unit tests: flag aliases, activation dispatch, save labels."""
+
+import argparse
+
+import pytest
+
+from spatialvae_tpu.cli.common import add_arg, resolve_activation_name
+from spatialvae_tpu.train.artifacts import save_label
+
+
+def test_dual_spelling_aliases():
+    p = argparse.ArgumentParser()
+    add_arg(p, "--z-dim", type=int, default=2)
+    add_arg(p, "--save_prefix")
+    a = p.parse_args(["--z_dim", "5", "--save-prefix", "x"])
+    assert a.z_dim == 5 and a.save_prefix == "x"
+    b = p.parse_args(["--z-dim", "7", "--save_prefix", "y"])
+    assert b.z_dim == 7 and b.save_prefix == "y"
+
+
+def test_activation_dispatch_parity():
+    # mnist/particles: relu maps to torch LeakyReLU
+    # (train_mnist.py:344-348)
+    assert resolve_activation_name("relu", "mnist") == "leakyrelu"
+    assert resolve_activation_name("tanh", "particles") == "tanh"
+    # galaxy: relu is a real ReLU; 'leakyrelu' falls through to tanh due to
+    # the reference's 'leakrelu' dispatch typo (train_galaxy.py:426-434)
+    assert resolve_activation_name("relu", "galaxy") == "relu"
+    assert resolve_activation_name("leakyrelu", "galaxy") == "tanh"
+    assert resolve_activation_name("sigmoid", "galaxy") == "sigmoid"
+
+
+def test_save_label_scheme():
+    # label tags follow dict insertion order (misc_tools.py:16-28)
+    args = {"z_dim": 2, "p_num_layers": 3, "q_num_layers": 4,
+            "num_epochs": 100}
+    assert save_label(args, "pre") == "pre_z2pnl3qnl4ep100"
+    args2 = {"z_dim": 5, "num_layers": 2, "num_epochs": 7}
+    assert save_label(args2, "t") == "t_z5nl2ep7"
