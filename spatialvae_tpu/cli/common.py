@@ -67,6 +67,38 @@ def _use_fused(args) -> bool:
         return False
 
 
+def maybe_mesh(args):
+    """Create a ('data', 'model') mesh when more than one device is visible
+    (or --mesh-model asks for model parallelism); None on a single chip."""
+    n = len(jax.devices())
+    model = getattr(args, "mesh_model", 1) or 1
+    if n <= 1:
+        return None
+    from spatialvae_tpu.parallel import MeshConfig, create_mesh
+
+    mesh = create_mesh(MeshConfig.auto(n_devices=n, model=model))
+    print(f"# mesh: {dict(mesh.shape)}")
+    return mesh
+
+
+def make_dataset(y, ctf=None, mesh=None):
+    """ArrayDataset in HBM; sharded over the 'data' axis when a mesh is
+    active and the image count divides evenly (replicated otherwise)."""
+    import jax.numpy as jnp
+
+    from spatialvae_tpu.data import ArrayDataset
+
+    sharding = None
+    if mesh is not None and y.shape[0] % mesh.shape["data"] == 0:
+        from spatialvae_tpu.parallel.sharding import batch_sharding
+
+        sharding = batch_sharding(mesh)
+    if sharding is not None:
+        return ArrayDataset.from_numpy(y, ctf, sharding=sharding)
+    return ArrayDataset(jnp.asarray(y),
+                        None if ctf is None else jnp.asarray(ctf))
+
+
 def maybe_resume(trainer, args) -> None:
     """Load generator/inference params from checkpoints into the trainer."""
     from spatialvae_tpu.train.checkpoint import load_model

@@ -25,6 +25,8 @@ import numpy as np
 
 from spatialvae_tpu.cli.common import (
     _use_fused,
+    make_dataset,
+    maybe_mesh,
     maybe_resume,
     add_arg,
     add_common_extras,
@@ -180,6 +182,7 @@ def run(args):
 
     with device_context(args.device, args.matmul_precision,
                         args.debug_nans):
+        mesh = maybe_mesh(args)
         z_dim = args.z_dim
         print("# training with z-dim:", z_dim, file=sys.stderr)
 
@@ -226,18 +229,19 @@ def run(args):
                           theta_prior=args.theta_prior,
                           theta_mean_penalty=False,  # train_galaxy.py:99
                           likelihood="bernoulli", channels=channels,
-                          vanilla=args.vanilla, fused=_use_fused(args))
+                          vanilla=args.vanilla,
+                          fused=_use_fused(args) and mesh is None)
         tcfg = TrainConfig(minibatch_size=args.minibatch_size,
                            learning_rate=args.learning_rate,
                            num_epochs=num_epochs, z_delay=args.z_delay,
                            augment_rotation=args.augment_rotation,
                            seed=args.seed, compute_dtype=args.compute_dtype,
                            image_shape=(n, m), channels=channels)
-        trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords)
+        trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh)
         maybe_resume(trainer, args)
 
-        data_train = ArrayDataset(jnp.asarray(y_train))
-        data_val = ArrayDataset(jnp.asarray(y_val))
+        data_train = make_dataset(y_train, mesh=mesh)
+        data_val = make_dataset(y_val, mesh=mesh)
         label = save_label(vars(args), args.save_prefix)
         save_interval = args.save_interval
 

@@ -17,6 +17,8 @@ import numpy as np
 
 from spatialvae_tpu.cli.common import (
     _use_fused,
+    make_dataset,
+    maybe_mesh,
     maybe_resume,
     add_arg,
     add_common_extras,
@@ -158,6 +160,7 @@ def run(args):
 
     with device_context(args.device, args.matmul_precision,
                         args.debug_nans):
+        mesh = maybe_mesh(args)
         z_dim = args.z_dim
         print("# training with z-dim:", z_dim, file=sys.stderr)
 
@@ -202,17 +205,17 @@ def run(args):
                           theta_prior=args.theta_prior,
                           theta_mean_penalty=True,   # train_mnist.py:63
                           likelihood="bernoulli", vanilla=args.vanilla,
-                          fused=_use_fused(args))
+                          fused=_use_fused(args) and mesh is None)
         tcfg = TrainConfig(minibatch_size=args.minibatch_size,
                            learning_rate=args.learning_rate,
                            num_epochs=num_epochs, seed=args.seed,
                            compute_dtype=args.compute_dtype,
                            image_shape=(n, m))
-        trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords)
+        trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh)
         maybe_resume(trainer, args)
 
-        data_train = ArrayDataset(jnp.asarray(y_train))
-        data_test = ArrayDataset(jnp.asarray(y_test))
+        data_train = make_dataset(y_train, mesh=mesh)
+        data_test = make_dataset(y_test, mesh=mesh)
         label = save_label(vars(args), args.save_prefix)
         save_interval = args.save_interval
 

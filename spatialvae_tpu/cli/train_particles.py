@@ -19,6 +19,8 @@ import numpy as np
 
 from spatialvae_tpu.cli.common import (
     _use_fused,
+    make_dataset,
+    maybe_mesh,
     maybe_resume,
     add_arg,
     add_common_extras,
@@ -188,6 +190,7 @@ def run(args):
 
     with device_context(args.device, args.matmul_precision,
                         args.debug_nans):
+        mesh = maybe_mesh(args)
         z_dim = args.z_dim
         print("# training with z-dim:", z_dim, file=sys.stderr)
 
@@ -236,7 +239,7 @@ def run(args):
                           theta_prior=args.theta_prior,
                           theta_mean_penalty=False,  # train_particles.py:86
                           likelihood=likelihood, vanilla=args.vanilla,
-                          fused=_use_fused(args))
+                          fused=_use_fused(args) and mesh is None)
         tcfg = TrainConfig(minibatch_size=args.minibatch_size,
                            learning_rate=args.learning_rate,
                            num_epochs=num_epochs, z_delay=args.z_delay,
@@ -244,15 +247,12 @@ def run(args):
                            seed=args.seed, compute_dtype=args.compute_dtype,
                            image_shape=(n, m))
         trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords,
-                          mask=None if mask is None else jnp.asarray(mask))
+                          mask=None if mask is None else jnp.asarray(mask),
+                          mesh=mesh)
         maybe_resume(trainer, args)
 
-        data_train = ArrayDataset(
-            jnp.asarray(y_train),
-            None if ctf_train is None else jnp.asarray(ctf_train))
-        data_test = ArrayDataset(
-            jnp.asarray(y_test),
-            None if ctf_test is None else jnp.asarray(ctf_test))
+        data_train = make_dataset(y_train, ctf_train, mesh=mesh)
+        data_test = make_dataset(y_test, ctf_test, mesh=mesh)
 
         print("\t".join(["Epoch", "Split", "ELBO", "Error", "KL"]))
 

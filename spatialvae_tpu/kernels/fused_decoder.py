@@ -48,9 +48,11 @@ def can_fuse_decoder(cfg: SpatialGeneratorConfig, hw: int) -> bool:
             and cfg.num_layers == 2 and hw % 256 == 0)
 
 
-def _pick_tile(hw: int) -> int:
+def _pick_tile(hw: int, max_tile: int = 1024) -> int:
+    """Pixel-tile size bounded by VMEM: the forward keeps ~4 (Pt, H) f32
+    buffers live, the backward ~8, against the 16 MB scoped-vmem limit."""
     for t in (2048, 1024, 512, 256):
-        if hw % t == 0:
+        if t <= max_tile and hw % t == 0:
             return t
     return hw
 
@@ -87,7 +89,7 @@ def _fwd_pallas(fold, coords, w1, b1, wh, bh):
     b, _, h = fold.shape
     hw = coords.shape[0]
     n_out = wh.shape[1]
-    pt = _pick_tile(hw)
+    pt = _pick_tile(hw, max_tile=1024)
     grid = (b, hw // pt)
 
     return pl.pallas_call(
@@ -199,7 +201,7 @@ def _bwd_pallas(fold, coords, w1, b1, wh, bh, g):
     b, _, h = fold.shape
     hw = coords.shape[0]
     n_out = wh.shape[1]
-    pt = _pick_tile(hw)
+    pt = _pick_tile(hw, max_tile=512)
     grid = (b, hw // pt)
 
     out_shapes = (

@@ -75,8 +75,18 @@ def set_activation_sharding(mesh: Optional[Mesh]):
 
 def constrain_decoder_hidden(h: jax.Array) -> jax.Array:
     """Constrain (B, HW, H) decoder hidden activations to
-    P('data', 'model', None) when a mesh is active."""
-    if _ACTIVATION_MESH is None:
+    P('data', 'model', None) when a mesh is active.
+
+    Axes that do not divide evenly by their mesh axis (e.g. a trailing
+    partial batch, or a non-aligned pixel count) are left unsharded —
+    with_sharding_constraint requires exact divisibility."""
+    mesh = _ACTIVATION_MESH
+    if mesh is None:
         return h
+    spec = [None] * h.ndim
+    if h.shape[0] % mesh.shape["data"] == 0:
+        spec[0] = "data"
+    if h.ndim >= 3 and h.shape[1] % mesh.shape["model"] == 0:
+        spec[1] = "model"
     return jax.lax.with_sharding_constraint(
-        h, NamedSharding(_ACTIVATION_MESH, P("data", "model", None)))
+        h, NamedSharding(mesh, P(*spec)))

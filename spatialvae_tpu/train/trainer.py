@@ -80,13 +80,14 @@ class Trainer:
     def __init__(self, q_cfg: InferenceConfig, p_cfg, ecfg: ElboConfig,
                  tcfg: TrainConfig, coords: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
-                 param_dtype=jnp.float32):
+                 param_dtype=jnp.float32, mesh=None):
         self.q_cfg = q_cfg
         self.p_cfg = p_cfg
         self.ecfg = ecfg
         self.tcfg = tcfg
         self.coords = jnp.asarray(coords)
         self.mask = None if mask is None else jnp.asarray(mask)
+        self.mesh = mesh
 
         key = jax.random.PRNGKey(tcfg.seed)
         self.base_key, kq, kp = jax.random.split(key, 3)
@@ -98,7 +99,25 @@ class Trainer:
 
         self.optimizer = optax.adam(tcfg.learning_rate)
         params = {"q": q_params, "p": p_params}
-        self.state = TrainState(params, self.optimizer.init(params))
+        if mesh is not None:
+            # multi-chip: TP-shard the q first layer, replicate the rest,
+            # and turn on the pixel-axis decoder sharding constraint
+            from spatialvae_tpu.parallel.sharding import (
+                set_activation_sharding,
+                shard_params,
+            )
+
+            set_activation_sharding(mesh)
+            params = shard_params(params, mesh)
+            self.state = TrainState(params,
+                                    jax.jit(self.optimizer.init)(params))
+        else:
+            from spatialvae_tpu.parallel.sharding import (
+                set_activation_sharding,
+            )
+
+            set_activation_sharding(None)   # clear any stale mesh hook
+            self.state = TrainState(params, self.optimizer.init(params))
 
         self._compute_dtype = (jnp.bfloat16
                                if tcfg.compute_dtype == "bfloat16"

@@ -4,6 +4,8 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/kernel_probe.py [B]
 """
 
 import sys
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import time
 
 import jax

@@ -4,6 +4,8 @@ Run on the TPU: python tools/perf_probe.py [batch]
 """
 
 import sys
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import time
 
 import numpy as np
