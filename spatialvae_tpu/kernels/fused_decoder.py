@@ -11,29 +11,30 @@ The spatial generator's hot path is, per (image b, pixel p):
 where (w0, w1, c) already encode the reparameterised rotation, translation
 and latent contribution (models/spatial.py fold).  Under plain XLA the
 (B, HW, H) activations h0/a0/h1/a1 round-trip HBM between GEMMs — at galaxy
-scale (B=256, HW=4096, H=512) that is ~1 GB per tensor per direction and the
-step is HBM-bound.  This kernel keeps every intermediate in VMEM:
+scale (B=256, HW=4096, H=512) that is ~0.5 GB per tensor per direction and
+the step is part HBM-bound.  This kernel keeps every intermediate in VMEM:
 
 - forward: grid (B, HW/Pt); each step builds h0 for a (Pt, H) tile with two
-  lane-broadcast FMAs, runs both GEMMs on the MXU with f32 accumulation, and
-  writes only the (Pt, n_out) output tile.
+  lane-broadcast FMAs, runs the H x H GEMM on the MXU with f32 accumulation,
+  and evaluates the tiny head (n_out <= 8) on the VPU as per-channel
+  broadcast reductions — an (H, n_out) MXU matmul would pad n_out to 128
+  lanes and waste ~25% of the main GEMM's time.  The output is laid out
+  (B, n_out, HW) so the lane dimension is the pixel tile.
 - backward (custom VJP): the same tiling, recomputing a0/a1 in VMEM
   (flash-attention-style rematerialisation) and accumulating dW1/db1/dWh/dbh
   into constant-index output blocks across the sequential TPU grid, plus the
-  per-image (dw0, dw1, dc) fold gradients.
+  per-image (dw0, dw1, dc) fold gradients.  The head's backward is likewise
+  VPU-only.
 
 Gradients w.r.t. theta/dx/z/coord_linear/latent_linear then flow through the
 fold's own (cheap) autodiff in XLA.
 
 Supported shape family: the foldable SpatialGenerator with one hidden layer
-(num_layers=2 — the default in every reference CLI) and no resid.  Other
-configs use the XLA path (objectives/elbo.py chooses automatically).
+(num_layers=2 — the default in every reference CLI), no resid, n_out <= 8.
+Other configs use the XLA path (objectives/elbo.py chooses automatically).
 """
 
 from __future__ import annotations
-
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +46,7 @@ from spatialvae_tpu.core.config import SpatialGeneratorConfig
 
 def can_fuse_decoder(cfg: SpatialGeneratorConfig, hw: int) -> bool:
     return (not cfg.expand_coords and not cfg.bilinear and not cfg.resid
-            and cfg.num_layers == 2 and hw % 256 == 0)
+            and cfg.num_layers == 2 and cfg.n_out <= 8 and hw % 256 == 0)
 
 
 def _pick_tile(hw: int, max_tile: int = 1024) -> int:
@@ -62,12 +63,12 @@ def _pick_tile(hw: int, max_tile: int = 1024) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(x_ref, f_ref, w1_ref, b1_ref, wh_ref, bh_ref, y_ref):
+def _fwd_kernel(x_ref, f_ref, w1_ref, b1_ref, wht_ref, bht_ref, y_ref):
     """One (image, pixel-tile) grid step.
 
     x_ref: (Pt, 2) coords; f_ref: (1, 4, H) folded rows [w0, w1, c, 0];
-    w1_ref: (H, H); b1_ref: (1, H); wh_ref: (H, No); bh_ref: (1, No);
-    y_ref: (1, Pt, No) output tile.
+    w1_ref: (H, H); b1_ref: (1, H); wht_ref: (No, H) pre-transposed head;
+    bht_ref: (No, 1); y_ref: (1, No, Pt) output tile.
     """
     x0 = x_ref[:, 0:1]                         # (Pt, 1)
     x1 = x_ref[:, 1:2]
@@ -80,15 +81,19 @@ def _fwd_kernel(x_ref, f_ref, w1_ref, b1_ref, wh_ref, bh_ref, y_ref):
     h1 = jnp.dot(a0.astype(w1_ref.dtype), w1_ref[:, :],
                  preferred_element_type=jnp.float32) + b1_ref[0:1, :]
     a1 = jnp.tanh(h1)
-    z2 = jnp.dot(a1.astype(wh_ref.dtype), wh_ref[:, :],
-                 preferred_element_type=jnp.float32) + bh_ref[0:1, :]
-    y_ref[0] = jax.nn.sigmoid(z2)
+
+    n_out = y_ref.shape[1]
+    for j in range(n_out):                     # VPU head: n_out <= 8
+        # keep everything >= 2-D: Mosaic only supports 32-bit scalar extracts
+        z2j = (jnp.sum(a1 * wht_ref[j:j + 1, :], axis=1, keepdims=True)
+               + bht_ref[j:j + 1, 0:1].astype(jnp.float32))   # (Pt, 1)
+        y_ref[0, j, :] = jax.nn.sigmoid(z2j)[:, 0]
 
 
-def _fwd_pallas(fold, coords, w1, b1, wh, bh):
+def _fwd_pallas(fold, coords, w1, b1, wht, bht):
     b, _, h = fold.shape
     hw = coords.shape[0]
-    n_out = wh.shape[1]
+    n_out = wht.shape[0]
     pt = _pick_tile(hw, max_tile=1024)
     grid = (b, hw // pt)
 
@@ -104,15 +109,15 @@ def _fwd_pallas(fold, coords, w1, b1, wh, bh):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, n_out), lambda i, j: (0, 0),
+            pl.BlockSpec((n_out, h), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_out), lambda i, j: (0, 0),
+            pl.BlockSpec((n_out, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, pt, n_out), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hw, n_out), jnp.float32),
-    )(coords, fold, w1, b1, wh, bh)
+        out_shape=jax.ShapeDtypeStruct((b, n_out, hw), jnp.float32),
+    )(coords, fold, w1, b1, wht, bht)
 
 
 # ---------------------------------------------------------------------------
@@ -120,11 +125,11 @@ def _fwd_pallas(fold, coords, w1, b1, wh, bh):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(x_ref, f_ref, w1_ref, wh_ref, b1_ref, bh_ref, g_ref,
-                df_ref, dw1_ref, db1_ref, dwh_ref, dbh_ref):
+def _bwd_kernel(x_ref, f_ref, w1_ref, wht_ref, b1_ref, bht_ref, g_ref,
+                df_ref, dw1_ref, db1_ref, dwht_ref, dbht_ref):
     """Recompute forward for the tile, then accumulate all gradients.
 
-    g_ref: (1, Pt, No) cotangent of y.  Accumulators dw1/db1/dwh/dbh use a
+    g_ref: (1, No, Pt) cotangent of y.  Accumulators dw1/db1/dwht/dbht use a
     constant index map — the TPU grid runs sequentially, so += is safe.
     df_ref (1, 4, H) accumulates over the pixel-tile axis per image.
     """
@@ -133,7 +138,6 @@ def _bwd_kernel(x_ref, f_ref, w1_ref, wh_ref, b1_ref, bh_ref, g_ref,
 
     x0 = x_ref[:, 0:1]
     x1 = x_ref[:, 1:2]
-
     w0r = f_ref[0, 0:1, :]
     w1r = f_ref[0, 1:2, :]
     cr = f_ref[0, 2:3, :]
@@ -144,20 +148,22 @@ def _bwd_kernel(x_ref, f_ref, w1_ref, wh_ref, b1_ref, bh_ref, g_ref,
     a0c = a0.astype(w1_ref.dtype)
     h1 = jnp.dot(a0c, w1_ref[:, :],
                  preferred_element_type=jnp.float32) + b1_ref[0:1, :]
-    a1 = jnp.tanh(h1)
-    a1c = a1.astype(wh_ref.dtype)
-    z2 = jnp.dot(a1c, wh_ref[:, :],
-                 preferred_element_type=jnp.float32) + bh_ref[0:1, :]
-    s = jax.nn.sigmoid(z2)
+    a1 = jnp.tanh(h1)                          # (Pt, H) f32
 
-    g = g_ref[0]                               # (Pt, No) f32
-    dz2 = g * s * (1.0 - s)                    # sigmoid'
-    dz2c = dz2.astype(wh_ref.dtype)
-
-    # head grads
-    dwh = jnp.dot(a1c.T, dz2c, preferred_element_type=jnp.float32)
-    dbh = jnp.sum(dz2, axis=0, keepdims=True)
-    da1 = jnp.dot(dz2c, wh_ref[:, :].T, preferred_element_type=jnp.float32)
+    n_out = g_ref.shape[1]
+    da1 = jnp.zeros_like(a1)
+    dwht = []
+    dbht = []
+    for jo in range(n_out):                    # VPU head fwd+bwd
+        z2j = (jnp.sum(a1 * wht_ref[jo:jo + 1, :], axis=1, keepdims=True)
+               + bht_ref[jo:jo + 1, 0:1].astype(jnp.float32))  # (Pt, 1)
+        s = jax.nn.sigmoid(z2j)
+        dz2j = g_ref[0, jo, :][:, None] * s * (1.0 - s)        # (Pt, 1)
+        da1 = da1 + dz2j * wht_ref[jo:jo + 1, :]
+        dwht.append(jnp.sum(dz2j * a1, axis=0, keepdims=True))  # (1, H)
+        dbht.append(jnp.sum(dz2j, axis=0, keepdims=True))       # (1, 1)
+    dwht = jnp.concatenate(dwht, axis=0)       # (No, H)
+    dbht = jnp.concatenate(dbht, axis=0)       # (No, 1)
 
     dh1 = da1 * (1.0 - a1 * a1)                # tanh'
     dh1c = dh1.astype(w1_ref.dtype)
@@ -178,15 +184,15 @@ def _bwd_kernel(x_ref, f_ref, w1_ref, wh_ref, b1_ref, bh_ref, g_ref,
     def _():
         dw1_ref[:, :] = dw1
         db1_ref[:, :] = db1
-        dwh_ref[:, :] = dwh
-        dbh_ref[:, :] = dbh
+        dwht_ref[:, :] = dwht
+        dbht_ref[:, :] = dbht
 
     @pl.when(jnp.logical_not(first_step))
     def _():
         dw1_ref[:, :] += dw1
         db1_ref[:, :] += db1
-        dwh_ref[:, :] += dwh
-        dbh_ref[:, :] += dbh
+        dwht_ref[:, :] += dwht
+        dbht_ref[:, :] += dbht
 
     @pl.when(j == 0)
     def _():
@@ -197,10 +203,10 @@ def _bwd_kernel(x_ref, f_ref, w1_ref, wh_ref, b1_ref, bh_ref, g_ref,
         df_ref[:, :, :] += dfold
 
 
-def _bwd_pallas(fold, coords, w1, b1, wh, bh, g):
+def _bwd_pallas(fold, coords, w1, b1, wht, bht, g):
     b, _, h = fold.shape
     hw = coords.shape[0]
-    n_out = wh.shape[1]
+    n_out = wht.shape[0]
     pt = _pick_tile(hw, max_tile=512)
     grid = (b, hw // pt)
 
@@ -208,17 +214,17 @@ def _bwd_pallas(fold, coords, w1, b1, wh, bh, g):
         jax.ShapeDtypeStruct((b, 4, h), jnp.float32),      # dfold
         jax.ShapeDtypeStruct((h, h), jnp.float32),         # dW1
         jax.ShapeDtypeStruct((1, h), jnp.float32),         # db1
-        jax.ShapeDtypeStruct((h, n_out), jnp.float32),     # dWh
-        jax.ShapeDtypeStruct((1, n_out), jnp.float32),     # dbh
+        jax.ShapeDtypeStruct((n_out, h), jnp.float32),     # dWh^T
+        jax.ShapeDtypeStruct((n_out, 1), jnp.float32),     # dbh^T
     )
     out_specs = (
         pl.BlockSpec((1, 4, h), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, n_out), lambda i, j: (0, 0),
+        pl.BlockSpec((n_out, h), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_out), lambda i, j: (0, 0),
+        pl.BlockSpec((n_out, 1), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -231,18 +237,18 @@ def _bwd_pallas(fold, coords, w1, b1, wh, bh, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, h), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, n_out), lambda i, j: (0, 0),
+            pl.BlockSpec((n_out, h), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_out), lambda i, j: (0, 0),
+            pl.BlockSpec((n_out, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pt, n_out), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-    )(coords, fold, w1, wh, b1, bh, g)
+    )(coords, fold, w1, wht, b1, bht, g)
 
 
 # ---------------------------------------------------------------------------
@@ -253,26 +259,26 @@ def _bwd_pallas(fold, coords, w1, b1, wh, bh, g):
 @jax.custom_vjp
 def fused_decoder_tail(fold: jnp.ndarray, coords: jnp.ndarray,
                        w1: jnp.ndarray, b1: jnp.ndarray,
-                       wh: jnp.ndarray, bh: jnp.ndarray) -> jnp.ndarray:
+                       wht: jnp.ndarray, bht: jnp.ndarray) -> jnp.ndarray:
     """fold: (B, 4, H) rows [w0, w1, c, unused]; coords: (HW, 2);
-    w1: (H, H); b1: (H,); wh: (H, n_out); bh: (n_out,).
-    Returns sigmoid head output (B, HW, n_out) float32."""
-    return _fwd_pallas(fold, coords, w1, b1[None, :], wh, bh[None, :])
+    w1: (H, H); b1: (H,); wht: (n_out, H) pre-transposed head weight;
+    bht: (n_out,).  Returns sigmoid head output (B, n_out, HW) float32."""
+    return _fwd_pallas(fold, coords, w1, b1[None, :], wht, bht[:, None])
 
 
-def _vjp_fwd(fold, coords, w1, b1, wh, bh):
-    y = _fwd_pallas(fold, coords, w1, b1[None, :], wh, bh[None, :])
-    return y, (fold, coords, w1, b1, wh, bh)
+def _vjp_fwd(fold, coords, w1, b1, wht, bht):
+    y = _fwd_pallas(fold, coords, w1, b1[None, :], wht, bht[:, None])
+    return y, (fold, coords, w1, b1, wht, bht)
 
 
 def _vjp_bwd(res, g):
-    fold, coords, w1, b1, wh, bh = res
-    dfold, dw1, db1, dwh, dbh = _bwd_pallas(
-        fold, coords, w1, b1[None, :], wh, bh[None, :],
+    fold, coords, w1, b1, wht, bht = res
+    dfold, dw1, db1, dwht, dbht = _bwd_pallas(
+        fold, coords, w1, b1[None, :], wht, bht[:, None],
         g.astype(jnp.float32))
     return (dfold.astype(fold.dtype), None, dw1.astype(w1.dtype),
-            db1[0].astype(b1.dtype), dwh.astype(wh.dtype),
-            dbh[0].astype(bh.dtype))
+            db1[0].astype(b1.dtype), dwht.astype(wht.dtype),
+            dbht[:, 0].astype(bht.dtype))
 
 
 fused_decoder_tail.defvjp(_vjp_fwd, _vjp_bwd)
@@ -286,8 +292,9 @@ fused_decoder_tail.defvjp(_vjp_fwd, _vjp_bwd)
 def fused_spatial_generator(params, cfg: SpatialGeneratorConfig,
                             coords: jnp.ndarray, theta, dx, z) -> jnp.ndarray:
     """Drop-in replacement for spatial_generator_apply_folded using the
-    fused kernel.  Pose fold + optional softplus stay in XLA (cheap, and the
-    fold's autodiff provides dtheta/ddx/dz/dcoord/dlatent)."""
+    fused kernel.  Pose fold + head transpose + optional softplus stay in
+    XLA (cheap, and the fold's autodiff provides dtheta/ddx/dz/dcoord/
+    dlatent)."""
     from spatialvae_tpu.models.spatial import fold_pose_into_first_layer
 
     w0, w1f, c = fold_pose_into_first_layer(params, cfg, theta, dx, z)
@@ -295,8 +302,10 @@ def fused_spatial_generator(params, cfg: SpatialGeneratorConfig,
     fold = jnp.stack([w0, w1f, c, zeros], axis=1)      # (B, 4, H)
     hidden = params["layers"][0]
     head = params["layers"][1]
-    y = fused_decoder_tail(fold, coords.astype(jnp.float32),
-                           hidden["w"], hidden["b"], head["w"], head["b"])
+    yt = fused_decoder_tail(fold, coords.astype(jnp.float32),
+                            hidden["w"], hidden["b"],
+                            head["w"].T, head["b"])    # (B, No, HW)
+    y = jnp.swapaxes(yt, 1, 2)                         # (B, HW, No)
     if cfg.softplus:
         y = jnp.concatenate(
             [jax.nn.softplus(y[..., :1]), y[..., 1:]], axis=-1)
