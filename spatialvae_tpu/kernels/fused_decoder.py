@@ -45,8 +45,10 @@ from spatialvae_tpu.core.config import SpatialGeneratorConfig
 
 
 def can_fuse_decoder(cfg: SpatialGeneratorConfig, hw: int) -> bool:
+    # non-aligned pixel counts are padded with dummy coordinates in
+    # fused_spatial_generator; tiny images aren't worth a kernel launch
     return (not cfg.expand_coords and not cfg.bilinear and not cfg.resid
-            and cfg.num_layers == 2 and cfg.n_out <= 8 and hw % 256 == 0)
+            and cfg.num_layers == 2 and cfg.n_out <= 8 and hw >= 256)
 
 
 def _pick_tile(hw: int, max_tile: int = 1024) -> int:
@@ -82,12 +84,16 @@ def _fwd_kernel(x_ref, f_ref, w1_ref, b1_ref, wht_ref, bht_ref, y_ref):
                  preferred_element_type=jnp.float32) + b1_ref[0:1, :]
     a1 = jnp.tanh(h1)
 
-    n_out = y_ref.shape[1]
-    for j in range(n_out):                     # VPU head: n_out <= 8
-        # keep everything >= 2-D: Mosaic only supports 32-bit scalar extracts
-        z2j = (jnp.sum(a1 * wht_ref[j:j + 1, :], axis=1, keepdims=True)
-               + bht_ref[j:j + 1, 0:1].astype(jnp.float32))   # (Pt, 1)
-        y_ref[0, j, :] = jax.nn.sigmoid(z2j)[:, 0]
+    # head as a small-M MXU matmul: (No, H) x (Pt, H)^T -> (No, Pt).
+    # M=n_out pads only to 8 sublanes (vs padding n_out to 128 lanes when
+    # computed as (Pt,H)x(H,No)), and the (No, Pt) result writes straight
+    # into the (1, No, Pt) output block.
+    a1c = a1.astype(wht_ref.dtype)
+    z2t = jax.lax.dot_general(
+        wht_ref[:, :], a1c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    z2t = z2t + bht_ref[:, 0:1].astype(jnp.float32)
+    y_ref[0] = jax.nn.sigmoid(z2t)
 
 
 def _fwd_pallas(fold, coords, w1, b1, wht, bht):
@@ -150,26 +156,36 @@ def _bwd_kernel(x_ref, f_ref, w1_ref, wht_ref, b1_ref, bht_ref, g_ref,
                  preferred_element_type=jnp.float32) + b1_ref[0:1, :]
     a1 = jnp.tanh(h1)                          # (Pt, H) f32
 
-    n_out = g_ref.shape[1]
-    da1 = jnp.zeros_like(a1)
-    dwht = []
-    dbht = []
-    for jo in range(n_out):                    # VPU head fwd+bwd
-        z2j = (jnp.sum(a1 * wht_ref[jo:jo + 1, :], axis=1, keepdims=True)
-               + bht_ref[jo:jo + 1, 0:1].astype(jnp.float32))  # (Pt, 1)
-        s = jax.nn.sigmoid(z2j)
-        dz2j = g_ref[0, jo, :][:, None] * s * (1.0 - s)        # (Pt, 1)
-        da1 = da1 + dz2j * wht_ref[jo:jo + 1, :]
-        dwht.append(jnp.sum(dz2j * a1, axis=0, keepdims=True))  # (1, H)
-        dbht.append(jnp.sum(dz2j, axis=0, keepdims=True))       # (1, 1)
-    dwht = jnp.concatenate(dwht, axis=0)       # (No, H)
-    dbht = jnp.concatenate(dbht, axis=0)       # (No, 1)
+    # head recompute + backward, all small-M MXU matmuls (see _fwd_kernel)
+    a1c = a1.astype(wht_ref.dtype)
+    z2t = jax.lax.dot_general(
+        wht_ref[:, :], a1c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    z2t = z2t + bht_ref[:, 0:1].astype(jnp.float32)
+    s = jax.nn.sigmoid(z2t)                    # (No, Pt)
+    dz2t = g_ref[0] * s * (1.0 - s)
+    dz2c = dz2t.astype(wht_ref.dtype)
+
+    # dWh^T (No, H) = dz2t (No, Pt) . a1 (Pt, H)
+    dwht = jax.lax.dot_general(
+        dz2c, a1c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbht = jnp.sum(dz2t, axis=1, keepdims=True)            # (No, 1)
+    # da1 (Pt, H) = dz2t (No, Pt)^T . wht (No, H) — K = n_out, tiny
+    da1 = jax.lax.dot_general(
+        dz2c, wht_ref[:, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     dh1 = da1 * (1.0 - a1 * a1)                # tanh'
     dh1c = dh1.astype(w1_ref.dtype)
-    dw1 = jnp.dot(a0c.T, dh1c, preferred_element_type=jnp.float32)
+    # contracted via dimension numbers — no materialised transposes
+    dw1 = jax.lax.dot_general(                 # a0^T . dh1 -> (H, H)
+        a0c, dh1c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     db1 = jnp.sum(dh1, axis=0, keepdims=True)
-    da0 = jnp.dot(dh1c, w1_ref[:, :].T, preferred_element_type=jnp.float32)
+    da0 = jax.lax.dot_general(                 # dh1 . W1^T -> (Pt, H)
+        dh1c, w1_ref[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     dh0 = da0 * (1.0 - a0 * a0)                # (Pt, H)
     dw0r = jnp.sum(x0 * dh0, axis=0, keepdims=True)    # (1, H)
@@ -207,7 +223,7 @@ def _bwd_pallas(fold, coords, w1, b1, wht, bht, g):
     b, _, h = fold.shape
     hw = coords.shape[0]
     n_out = wht.shape[0]
-    pt = _pick_tile(hw, max_tile=512)
+    pt = _pick_tile(hw, max_tile=1024)
     grid = (b, hw // pt)
 
     out_shapes = (
@@ -302,10 +318,16 @@ def fused_spatial_generator(params, cfg: SpatialGeneratorConfig,
     fold = jnp.stack([w0, w1f, c, zeros], axis=1)      # (B, 4, H)
     hidden = params["layers"][0]
     head = params["layers"][1]
-    yt = fused_decoder_tail(fold, coords.astype(jnp.float32),
+    hw = coords.shape[0]
+    pad = (-hw) % 256                                  # tile-align pixels
+    coords_p = coords.astype(jnp.float32)
+    if pad:
+        coords_p = jnp.concatenate(
+            [coords_p, jnp.zeros((pad, 2), jnp.float32)], axis=0)
+    yt = fused_decoder_tail(fold, coords_p,
                             hidden["w"], hidden["b"],
-                            head["w"].T, head["b"])    # (B, No, HW)
-    y = jnp.swapaxes(yt, 1, 2)                         # (B, HW, No)
+                            head["w"].T, head["b"])    # (B, No, HW+pad)
+    y = jnp.swapaxes(yt[..., :hw], 1, 2)               # (B, HW, No)
     if cfg.softplus:
         y = jnp.concatenate(
             [jax.nn.softplus(y[..., :1]), y[..., 1:]], axis=-1)

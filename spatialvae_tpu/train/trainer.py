@@ -97,7 +97,9 @@ class Trainer:
         else:
             p_params = spatial_generator_init(kp, p_cfg, dtype=param_dtype)
 
-        self.optimizer = optax.adam(tcfg.learning_rate)
+        from spatialvae_tpu.train.optimizer import fused_adam
+
+        self.optimizer = fused_adam(tcfg.learning_rate)
         params = {"q": q_params, "p": p_params}
         if mesh is not None:
             # multi-chip: TP-shard the q first layer, replicate the rest,

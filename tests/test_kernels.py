@@ -32,7 +32,8 @@ def _setup(n_out=3, h=32, n=16, m=16, b=4, z_dim=5):
 def test_can_fuse_decoder_gating():
     good = SpatialGeneratorConfig(latent_dim=2, hidden_dim=500, num_layers=2)
     assert can_fuse_decoder(good, 4096)
-    assert not can_fuse_decoder(good, 100)         # unaligned HW
+    assert can_fuse_decoder(good, 1600)            # padded (particles 40x40)
+    assert not can_fuse_decoder(good, 100)         # too small
     for bad in (
         SpatialGeneratorConfig(latent_dim=2, num_layers=3),
         SpatialGeneratorConfig(latent_dim=2, num_layers=2, resid=True),
@@ -48,6 +49,18 @@ def test_fused_forward_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         y_fused = fused_spatial_generator(params, cfg, coords, theta, dx, z)
     y_ref = spatial_generator_apply_folded(params, cfg, coords, theta, dx, z)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_forward_padded_hw():
+    """Non-tile-aligned pixel counts go through the padded path."""
+    cfg, params, _, theta, dx, z = _setup(n=20, m=20)   # HW=400
+    coords = jnp.asarray(coord_grid(20, 20))
+    with pltpu.force_tpu_interpret_mode():
+        y_fused = fused_spatial_generator(params, cfg, coords, theta, dx, z)
+    y_ref = spatial_generator_apply_folded(params, cfg, coords, theta, dx, z)
+    assert y_fused.shape == y_ref.shape == (4, 400, 3)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
 
