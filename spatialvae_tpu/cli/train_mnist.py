@@ -253,10 +253,12 @@ def run(args):
             if prof_dir and epoch == 1:
                 jax.profiler.stop_trace()
 
+        # blocking: the zip archive below must include the checkpoints
         save_trained_models(args.save_prefix, num_epochs - 1, digits, 1,
                             outputs.trained_dir,
                             trainer.state.params["p"], p_cfg,
-                            trainer.state.params["q"], q_cfg)
+                            trainer.state.params["q"], q_cfg,
+                            async_write=False)
         basic_run_plot(train_results, val_results,
                        output_dir=outputs.images_dir)
         outputs.write_results(train_lines, val_lines)

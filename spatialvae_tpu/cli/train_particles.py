@@ -278,6 +278,10 @@ def run(args):
             if args.profile_dir and epoch == 1:
                 jax.profiler.stop_trace()
 
+        from spatialvae_tpu.train.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()
+
 
 if __name__ == "__main__":
     main()

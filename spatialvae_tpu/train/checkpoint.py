@@ -16,8 +16,10 @@ section 3.5).
 
 from __future__ import annotations
 
+import atexit
 import os
 import pickle
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Tuple
 
 import jax
@@ -27,21 +29,49 @@ from spatialvae_tpu.core.config import config_from_dict, config_to_dict
 
 FORMAT = "spatialvae_tpu.checkpoint.v1"
 
+# Single background writer: device->host fetch happens on the caller thread
+# (cheap, async dispatch), the pickle+fsync happens off-thread so training
+# never blocks on disk.  Drained at interpreter exit.
+_writer = ThreadPoolExecutor(max_workers=1)
+_pending = []
+
+
+def _drain():
+    for f in _pending:
+        f.result()
+    _pending.clear()
+
+
+atexit.register(_drain)
+
 
 def _to_numpy(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
-def save_model(path: str, kind: str, params, cfg) -> None:
+def save_model(path: str, kind: str, params, cfg,
+               async_write: bool = False) -> None:
     payload = {
         "format": FORMAT,
         "kind": kind,                      # 'generator' | 'inference'
         "config": config_to_dict(cfg),
         "params": _to_numpy(params),
     }
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        pickle.dump(payload, f)
+
+    def write():
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    if async_write:
+        _pending.append(_writer.submit(write))
+    else:
+        write()
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all async checkpoint writes have finished."""
+    _drain()
 
 
 def load_model(path: str):
@@ -66,11 +96,15 @@ def checkpoint_paths(prefix: str, epoch: int, digits: int,
 
 def save_trained_models(prefix: Optional[str], epoch: int, digits: int,
                         save_interval: int, trained_dir: Optional[str],
-                        p_params, p_cfg, q_params, q_cfg) -> bool:
-    """Gate + save both networks (misc_tools.py:88-104 semantics)."""
+                        p_params, p_cfg, q_params, q_cfg,
+                        async_write: bool = True) -> bool:
+    """Gate + save both networks (misc_tools.py:88-104 semantics).
+
+    Writes happen on a background thread by default so the epoch loop never
+    stalls on disk (the reference blocks on torch.save)."""
     if prefix is None or (epoch + 1) % save_interval != 0:
         return False
     gen, inf = checkpoint_paths(prefix, epoch, digits, trained_dir)
-    save_model(gen, "generator", p_params, p_cfg)
-    save_model(inf, "inference", q_params, q_cfg)
+    save_model(gen, "generator", p_params, p_cfg, async_write=async_write)
+    save_model(inf, "inference", q_params, q_cfg, async_write=async_write)
     return True

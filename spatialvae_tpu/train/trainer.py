@@ -250,7 +250,14 @@ class Trainer:
 
         acc = StreamingMeans()
         if metrics is not None:
-            acc.update_array(np.asarray(metrics), tcfg.minibatch_size)
+            m = np.asarray(metrics)
+            if not np.all(np.isfinite(m)):
+                bad = int(np.argwhere(~np.isfinite(m))[0][0])
+                print(f"# WARNING: non-finite training metrics at epoch "
+                      f"{epoch + 1}, step {bad + 1} — loss diverged "
+                      f"(try --debug-nans to locate the op)",
+                      file=sys.stderr)
+            acc.update_array(m, tcfg.minibatch_size)
         if tail_metrics is not None:
             acc.update(tail, *[float(v) for v in np.asarray(tail_metrics)])
         if progress:
