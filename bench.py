@@ -77,7 +77,10 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
 def main():
     import jax
 
-    batch = 256
+    from spatialvae_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    batch = 1024
     fused = jax.default_backend() == "tpu"
     compare = False
     for a in sys.argv[1:]:

@@ -122,6 +122,9 @@ def maybe_resume(trainer, args) -> None:
 def device_context(device_flag: int, matmul_precision: str = "highest",
                    debug_nans: bool = False):
     """Map the reference's -d flag onto JAX device selection."""
+    from spatialvae_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     jax.config.update("jax_default_matmul_precision", matmul_precision)
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
