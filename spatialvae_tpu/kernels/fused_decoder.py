@@ -65,12 +65,16 @@ def _pick_tile(hw: int, max_tile: int = 1024) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(x_ref, f_ref, w1_ref, b1_ref, wht_ref, bht_ref, y_ref):
+def _fwd_kernel(x_ref, f_ref, w1_ref, b1_ref, wht_ref, bht_ref,
+                y_ref, a1_ref):
     """One (image, pixel-tile) grid step.
 
     x_ref: (Pt, 2) coords; f_ref: (1, 4, H) folded rows [w0, w1, c, 0];
     w1_ref: (H, H); b1_ref: (1, H); wht_ref: (No, H) pre-transposed head;
-    bht_ref: (No, 1); y_ref: (1, No, Pt) output tile.
+    bht_ref: (No, 1); y_ref: (1, No, Pt) output tile; a1_ref: (1, Pt, H)
+    bf16 residual for the backward — saving a1 costs ~2 bytes/element of
+    HBM traffic vs ~2H flops/element to recompute the H x H GEMM, and the
+    MXU's arithmetic intensity makes the store much cheaper.
     """
     x0 = x_ref[:, 0:1]                         # (Pt, 1)
     x1 = x_ref[:, 1:2]
@@ -94,6 +98,9 @@ def _fwd_kernel(x_ref, f_ref, w1_ref, b1_ref, wht_ref, bht_ref, y_ref):
         preferred_element_type=jnp.float32)
     z2t = z2t + bht_ref[:, 0:1].astype(jnp.float32)
     y_ref[0] = jax.nn.sigmoid(z2t)
+    # residual dtype follows the weights: bf16 in mixed-precision training
+    # (cheap store), f32 in full-precision/parity mode (exact backward)
+    a1_ref[0] = a1.astype(a1_ref.dtype)
 
 
 def _fwd_pallas(fold, coords, w1, b1, wht, bht):
@@ -120,9 +127,16 @@ def _fwd_pallas(fold, coords, w1, b1, wht, bht):
             pl.BlockSpec((n_out, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_out, hw), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pt, h), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_out, hw), jnp.float32),
+            jax.ShapeDtypeStruct((b, hw, h), w1.dtype),
+        ),
     )(coords, fold, w1, b1, wht, bht)
 
 
@@ -131,9 +145,14 @@ def _fwd_pallas(fold, coords, w1, b1, wht, bht):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(x_ref, f_ref, w1_ref, wht_ref, b1_ref, bht_ref, g_ref,
+def _bwd_kernel(x_ref, f_ref, w1_ref, wht_ref, a1_ref, y_ref, g_ref,
                 df_ref, dw1_ref, db1_ref, dwht_ref, dbht_ref):
-    """Recompute forward for the tile, then accumulate all gradients.
+    """Backward for one tile using the saved residuals.
+
+    a1_ref: (1, Pt, H) bf16 saved by the forward (skips the H x H recompute
+    GEMM); y_ref: (1, No, Pt) the forward's own sigmoid output — it IS the
+    head's backward residual, so nothing of the head is recomputed.  a0 is
+    recomputed from the fold (VPU-only, cheap).
 
     g_ref: (1, No, Pt) cotangent of y.  Accumulators dw1/db1/dwht/dbht use a
     constant index map — the TPU grid runs sequentially, so += is safe.
@@ -148,21 +167,14 @@ def _bwd_kernel(x_ref, f_ref, w1_ref, wht_ref, b1_ref, bht_ref, g_ref,
     w1r = f_ref[0, 1:2, :]
     cr = f_ref[0, 2:3, :]
 
-    # recompute forward in VMEM
+    # recompute only the (VPU) first layer; a1 comes from the residual
     h0 = x0 * w0r + x1 * w1r + cr
     a0 = jnp.tanh(h0)
     a0c = a0.astype(w1_ref.dtype)
-    h1 = jnp.dot(a0c, w1_ref[:, :],
-                 preferred_element_type=jnp.float32) + b1_ref[0:1, :]
-    a1 = jnp.tanh(h1)                          # (Pt, H) f32
+    a1c = a1_ref[0]                            # (Pt, H) bf16
+    a1 = a1c.astype(jnp.float32)
 
-    # head recompute + backward, all small-M MXU matmuls (see _fwd_kernel)
-    a1c = a1.astype(wht_ref.dtype)
-    z2t = jax.lax.dot_general(
-        wht_ref[:, :], a1c, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    z2t = z2t + bht_ref[:, 0:1].astype(jnp.float32)
-    s = jax.nn.sigmoid(z2t)                    # (No, Pt)
+    s = y_ref[0]                               # (No, Pt) = sigmoid(z2)
     dz2t = g_ref[0] * s * (1.0 - s)
     dz2c = dz2t.astype(wht_ref.dtype)
 
@@ -219,7 +231,7 @@ def _bwd_kernel(x_ref, f_ref, w1_ref, wht_ref, b1_ref, bht_ref, g_ref,
         df_ref[:, :, :] += dfold
 
 
-def _bwd_pallas(fold, coords, w1, b1, wht, bht, g):
+def _bwd_pallas(fold, coords, w1, wht, a1, y, g):
     b, _, h = fold.shape
     hw = coords.shape[0]
     n_out = wht.shape[0]
@@ -255,16 +267,16 @@ def _bwd_pallas(fold, coords, w1, b1, wht, bht, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_out, h), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i, j: (0, 0),
+            pl.BlockSpec((1, pt, h), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_out, 1), lambda i, j: (0, 0),
+            pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-    )(coords, fold, w1, wht, b1, bht, g)
+    )(coords, fold, w1, wht, a1, y, g)
 
 
 # ---------------------------------------------------------------------------
@@ -279,19 +291,19 @@ def fused_decoder_tail(fold: jnp.ndarray, coords: jnp.ndarray,
     """fold: (B, 4, H) rows [w0, w1, c, unused]; coords: (HW, 2);
     w1: (H, H); b1: (H,); wht: (n_out, H) pre-transposed head weight;
     bht: (n_out,).  Returns sigmoid head output (B, n_out, HW) float32."""
-    return _fwd_pallas(fold, coords, w1, b1[None, :], wht, bht[:, None])
+    y, _ = _fwd_pallas(fold, coords, w1, b1[None, :], wht, bht[:, None])
+    return y
 
 
 def _vjp_fwd(fold, coords, w1, b1, wht, bht):
-    y = _fwd_pallas(fold, coords, w1, b1[None, :], wht, bht[:, None])
-    return y, (fold, coords, w1, b1, wht, bht)
+    y, a1 = _fwd_pallas(fold, coords, w1, b1[None, :], wht, bht[:, None])
+    return y, (fold, coords, w1, b1, wht, bht, a1, y)
 
 
 def _vjp_bwd(res, g):
-    fold, coords, w1, b1, wht, bht = res
+    fold, coords, w1, b1, wht, bht, a1, y = res
     dfold, dw1, db1, dwht, dbht = _bwd_pallas(
-        fold, coords, w1, b1[None, :], wht, bht[:, None],
-        g.astype(jnp.float32))
+        fold, coords, w1, wht, a1, y, g.astype(jnp.float32))
     return (dfold.astype(fold.dtype), None, dw1.astype(w1.dtype),
             db1[0].astype(b1.dtype), dwht.astype(wht.dtype),
             dbht[:, 0].astype(bht.dtype))
