@@ -365,6 +365,81 @@ def test_galaxy_eval_minibatch_parity_multichannel(ref_modules):
     np.testing.assert_allclose(float(kl_j), float(kl_t), rtol=2e-4)
 
 
+def test_reference_training_trajectory(ref_modules):
+    """Multi-step training parity: reference eval_minibatch + torch Adam vs
+    our ELBO + fused Adam, same weights, same batches, same noise — the
+    BASELINE.json 'ELBO trajectories match' requirement at step granularity.
+    """
+    ref_models, ref_mnist, _, _ = ref_modules
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from spatialvae_tpu.objectives import ElboConfig, elbo_minibatch
+    from spatialvae_tpu.train.optimizer import fused_adam
+
+    n = m = 10
+    z_dim = 2
+    b = 8
+    steps = 6
+    lr = 1e-3
+    q_cfg, p_cfg, qp, pp, coords = _setup_ours(n, m, z_dim)
+
+    q_net = ref_models.InferenceNetwork(n * m, z_dim + 3, 24, num_layers=2)
+    p_net = ref_models.SpatialGenerator(z_dim, 24, n_out=1, num_layers=2)
+    _copy_params_to_torch(qp, pp, q_net, p_net)
+
+    rng = np.random.RandomState(0)
+    batches = rng.rand(steps, b, n * m).astype(np.float32)
+
+    # the reference consumes exactly one normal_(b, z+3) draw per step;
+    # pre-generate the identical sequence
+    seed = 555
+    torch.manual_seed(seed)
+    noises = [torch.empty(b, z_dim + 3).normal_().numpy()
+              for _ in range(steps)]
+
+    # --- reference side ---------------------------------------------------
+    torch.manual_seed(seed)
+    optim = torch.optim.Adam(
+        list(p_net.parameters()) + list(q_net.parameters()), lr=lr)
+    ref_elbos = []
+    x_t = torch.tensor(np.asarray(coords))
+    for k in range(steps):
+        elbo, _, _, _ = ref_mnist.eval_minibatch(
+            x_t, torch.tensor(batches[k]), p_net, q_net, rotate=True,
+            translate=True, dx_scale=0.1, theta_prior=np.pi / 4,
+            use_cuda=False)
+        (-elbo).backward()
+        optim.step()
+        optim.zero_grad()
+        ref_elbos.append(float(elbo))
+
+    # --- our side ---------------------------------------------------------
+    ecfg = ElboConfig(rotate=True, translate=True, dx_scale=0.1,
+                      theta_prior=np.pi / 4, theta_mean_penalty=True,
+                      likelihood="bernoulli")
+    params = {"q": qp, "p": pp}
+    opt = fused_adam(lr)
+    opt_state = opt.init(params)
+    cj = jnp.asarray(coords)
+
+    def loss_fn(prm, y, r):
+        e, *_ = elbo_minibatch(prm["q"], prm["p"], q_cfg, p_cfg, ecfg, cj,
+                               y, None, noise=r)
+        return -e
+
+    our_elbos = []
+    for k in range(steps):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, jnp.asarray(batches[k]), jnp.asarray(noises[k]))
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        our_elbos.append(-float(loss))
+
+    np.testing.assert_allclose(our_elbos, ref_elbos, rtol=5e-4)
+
+
 def test_vanilla_generator_parity(ref_modules):
     """Double-softplus quirk vs reference VanillaGenerator
     (models.py:156-170)."""
