@@ -17,14 +17,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from spatialvae_tpu.core.config import (
     InferenceConfig,
-    SpatialGeneratorConfig,
     VanillaGeneratorConfig,
 )
 from spatialvae_tpu.models import (

@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import logging
 import math
-import os
 import sys
 
 import numpy as np
@@ -121,14 +120,11 @@ def main(argv=None):
 
 
 def run(args):
-    import jax.numpy as jnp
-
     from spatialvae_tpu.core.config import (
         InferenceConfig,
         SpatialGeneratorConfig,
         VanillaGeneratorConfig,
     )
-    from spatialvae_tpu.data import ArrayDataset
     from spatialvae_tpu.io.png import save_image_grid
     from spatialvae_tpu.models import torch_style_repr
     from spatialvae_tpu.objectives import ElboConfig

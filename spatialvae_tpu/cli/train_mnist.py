@@ -128,14 +128,12 @@ def main(argv=None):
 
 def run(args):
     import jax
-    import jax.numpy as jnp
 
     from spatialvae_tpu.core.config import (
         InferenceConfig,
         SpatialGeneratorConfig,
         VanillaGeneratorConfig,
     )
-    from spatialvae_tpu.data import ArrayDataset
     from spatialvae_tpu.io.png import save_image_grid
     from spatialvae_tpu.models import torch_style_repr
     from spatialvae_tpu.objectives import ElboConfig

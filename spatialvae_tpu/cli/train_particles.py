@@ -133,7 +133,6 @@ def run(args):
         VanillaGeneratorConfig,
     )
     from spatialvae_tpu.ctf import ctf_filter, parse_ctf
-    from spatialvae_tpu.data import ArrayDataset
     from spatialvae_tpu.io.image import crop as crop_stack
     from spatialvae_tpu.io.image import normalize_whole
     from spatialvae_tpu.io.loaders import load_images

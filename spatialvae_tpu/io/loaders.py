@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from spatialvae_tpu.io.mrc import MrcHeader, read_mrc
+from spatialvae_tpu.io.mrc import MrcHeader
 
 
 def load_images(path: str) -> np.ndarray:

@@ -34,11 +34,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from spatialvae_tpu.core.config import (
-    InferenceConfig,
-    SpatialGeneratorConfig,
-    VanillaGeneratorConfig,
-)
+from spatialvae_tpu.core.config import InferenceConfig
 from spatialvae_tpu.models import (
     inference_apply,
     spatial_generator_apply,

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import sys
 from dataclasses import dataclass
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -41,10 +40,7 @@ from spatialvae_tpu.models import (
     vanilla_generator_apply,
     vanilla_generator_init,
 )
-from spatialvae_tpu.core.config import (
-    SpatialGeneratorConfig,
-    VanillaGeneratorConfig,
-)
+from spatialvae_tpu.core.config import VanillaGeneratorConfig
 from spatialvae_tpu.objectives import ElboConfig, elbo_minibatch
 from spatialvae_tpu.train.metrics import StreamingMeans
 from spatialvae_tpu.transforms.augment import rotate_images_bicubic

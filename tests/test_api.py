@@ -3,7 +3,6 @@
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from spatialvae_tpu.api import SpatialVae
 from spatialvae_tpu.core.config import InferenceConfig, SpatialGeneratorConfig

@@ -15,7 +15,7 @@ from spatialvae_tpu.train.artifacts import (
     ensure_empty_directory,
     save_command_args_to_file,
 )
-from spatialvae_tpu.train.metrics import PROGRESS_TEMPLATE, StreamingMeans
+from spatialvae_tpu.train.metrics import StreamingMeans
 from spatialvae_tpu.train.plots import legend_location
 
 

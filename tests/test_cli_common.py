@@ -2,8 +2,6 @@
 
 import argparse
 
-import pytest
-
 from spatialvae_tpu.cli.common import add_arg, resolve_activation_name
 from spatialvae_tpu.train.artifacts import save_label
 

@@ -4,7 +4,6 @@ monotonically across epochs."""
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from spatialvae_tpu.core.config import InferenceConfig, SpatialGeneratorConfig

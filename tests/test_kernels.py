@@ -1,7 +1,6 @@
 """Fused Pallas decoder vs the XLA folded path (interpret mode on CPU)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
