@@ -2,39 +2,43 @@
 
 The spatial generator's hot path is, per (image b, pixel p):
 
-    h0 = x0[p]*w0[b] + x1[p]*w1[b] + c[b]        # pose-folded first layer
-    a0 = tanh(h0)
-    h1 = a0 @ W1 + b1                            # (H,H) hidden GEMM
-    a1 = tanh(h1)
-    y  = sigmoid(a1 @ Wh + bh)                   # (H,n_out) head
+    h0  = x0[p]*w0[b] + x1[p]*w1[b] + c[b]       # pose-folded first layer
+    a0  = tanh(h0)
+    a_l = tanh(a_{l-1} @ W_l + b_l [+ a_{l-1}])  # L-1 hidden (H,H) layers
+    y   = sigmoid(a_{L-1} @ Wh + bh)             # (H,n_out) head
 
 where (w0, w1, c) already encode the reparameterised rotation, translation
 and latent contribution (models/spatial.py fold).  Under plain XLA the
-(B, HW, H) activations h0/a0/h1/a1 round-trip HBM between GEMMs — at galaxy
-scale (B=256, HW=4096, H=512) that is ~0.5 GB per tensor per direction and
-the step is part HBM-bound.  This kernel keeps every intermediate in VMEM:
+(B, HW, H) activations round-trip HBM between GEMMs; this kernel keeps every
+intermediate in VMEM:
 
 - forward: grid (B, HW/Pt); each step builds h0 for a (Pt, H) tile with two
-  lane-broadcast FMAs, runs the H x H GEMM on the MXU with f32 accumulation,
-  and evaluates the tiny head (n_out <= 8) on the VPU as per-channel
-  broadcast reductions — an (H, n_out) MXU matmul would pad n_out to 128
-  lanes and waste ~25% of the main GEMM's time.  The output is laid out
-  (B, n_out, HW) so the lane dimension is the pixel tile.
-- backward (custom VJP): the same tiling, recomputing a0/a1 in VMEM
-  (flash-attention-style rematerialisation) and accumulating dW1/db1/dWh/dbh
-  into constant-index output blocks across the sequential TPU grid, plus the
-  per-image (dw0, dw1, dc) fold gradients.  The head's backward is likewise
-  VPU-only.
+  lane-broadcast FMAs, runs the hidden GEMMs on the MXU with f32
+  accumulation, computes the head as a small-M matmul ((No,H) x (Pt,H)^T:
+  n_out pads only to 8 sublanes instead of 128 lanes), and writes the
+  (1, No, Pt) output tile plus the hidden activations as residuals —
+  storing 2 B/element costs less than recomputing 2H flops/element on the
+  MXU.  Residual dtype follows the weights (bf16 in mixed precision, f32 in
+  full-precision/parity mode).
+- backward (custom VJP): same tiling; a0 is recomputed from the fold
+  (VPU-only), a_1..a_{L-1} come from the residuals, and the forward's own
+  sigmoid output doubles as the head's backward residual.  dW/db
+  accumulate into constant-index output blocks across the sequential TPU
+  grid; per-image (dw0, dw1, dc) fold gradients accumulate over pixel
+  tiles.
 
 Gradients w.r.t. theta/dx/z/coord_linear/latent_linear then flow through the
 fold's own (cheap) autodiff in XLA.
 
-Supported shape family: the foldable SpatialGenerator with one hidden layer
-(num_layers=2 — the default in every reference CLI), no resid, n_out <= 8.
-Other configs use the XLA path (objectives/elbo.py chooses automatically).
+Supported shape family: the foldable SpatialGenerator (no
+expand_coords/bilinear — those make the first layer nonlinear in x) with
+2..5 layers, optional resid, n_out <= 8.  Other configs use the XLA path
+(objectives/elbo.py chooses automatically).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -47,15 +51,18 @@ from spatialvae_tpu.core.config import SpatialGeneratorConfig
 def can_fuse_decoder(cfg: SpatialGeneratorConfig, hw: int) -> bool:
     # non-aligned pixel counts are padded with dummy coordinates in
     # fused_spatial_generator; tiny images aren't worth a kernel launch
-    return (not cfg.expand_coords and not cfg.bilinear and not cfg.resid
-            and cfg.num_layers == 2 and cfg.n_out <= 8 and hw >= 256)
+    return (not cfg.expand_coords and not cfg.bilinear
+            and 2 <= cfg.num_layers <= 5 and cfg.n_out <= 8 and hw >= 256)
 
 
-def _pick_tile(hw: int, max_tile: int = 1024) -> int:
-    """Pixel-tile size bounded by VMEM: the forward keeps ~4 (Pt, H) f32
-    buffers live, the backward ~8, against the 16 MB scoped-vmem limit."""
+def _pick_tile(hw: int, n_hidden: int, backward: bool) -> int:
+    """Pixel-tile size bounded by VMEM (~16 MB scoped): the forward keeps
+    ~(3 + n_hidden) (Pt, H) buffers live, the backward ~(6 + n_hidden)."""
+    budget = 1024 if n_hidden <= 1 else 512
+    if backward and n_hidden > 2:
+        budget = 256
     for t in (2048, 1024, 512, 256):
-        if t <= max_tile and hw % t == 0:
+        if t <= budget and hw % t == 0:
             return t
     return hw
 
@@ -65,16 +72,14 @@ def _pick_tile(hw: int, max_tile: int = 1024) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(x_ref, f_ref, w1_ref, b1_ref, wht_ref, bht_ref,
-                y_ref, a1_ref):
+def _fwd_kernel(x_ref, f_ref, wh_ref, bh_ref, wht_ref, bht_ref,
+                y_ref, acts_ref, *, resid: bool):
     """One (image, pixel-tile) grid step.
 
     x_ref: (Pt, 2) coords; f_ref: (1, 4, H) folded rows [w0, w1, c, 0];
-    w1_ref: (H, H); b1_ref: (1, H); wht_ref: (No, H) pre-transposed head;
-    bht_ref: (No, 1); y_ref: (1, No, Pt) output tile; a1_ref: (1, Pt, H)
-    bf16 residual for the backward — saving a1 costs ~2 bytes/element of
-    HBM traffic vs ~2H flops/element to recompute the H x H GEMM, and the
-    MXU's arithmetic intensity makes the store much cheaper.
+    wh_ref: (Lh, H, H) stacked hidden weights; bh_ref: (Lh, H);
+    wht_ref: (No, H) pre-transposed head; bht_ref: (No, 1);
+    y_ref: (1, No, Pt) output tile; acts_ref: (Lh, 1, Pt, H) residuals.
     """
     x0 = x_ref[:, 0:1]                         # (Pt, 1)
     x1 = x_ref[:, 1:2]
@@ -83,44 +88,44 @@ def _fwd_kernel(x_ref, f_ref, w1_ref, b1_ref, wht_ref, bht_ref,
     c = f_ref[0, 2:3, :]
 
     h0 = x0 * w0 + x1 * w1f + c                # (Pt, H) lane-broadcast FMAs
-    a0 = jnp.tanh(h0)
-    h1 = jnp.dot(a0.astype(w1_ref.dtype), w1_ref[:, :],
-                 preferred_element_type=jnp.float32) + b1_ref[0:1, :]
-    a1 = jnp.tanh(h1)
+    a = jnp.tanh(h0)
 
-    # head as a small-M MXU matmul: (No, H) x (Pt, H)^T -> (No, Pt).
-    # M=n_out pads only to 8 sublanes (vs padding n_out to 128 lanes when
-    # computed as (Pt,H)x(H,No)), and the (No, Pt) result writes straight
-    # into the (1, No, Pt) output block.
-    a1c = a1.astype(wht_ref.dtype)
+    n_hidden = wh_ref.shape[0]
+    for l in range(n_hidden):
+        h = jnp.dot(a.astype(wh_ref.dtype), wh_ref[l],
+                    preferred_element_type=jnp.float32) + bh_ref[l:l + 1, :]
+        if resid:
+            h = h + a
+        a = jnp.tanh(h)
+        acts_ref[l, 0] = a.astype(acts_ref.dtype)
+
+    a1c = a.astype(wht_ref.dtype)
     z2t = jax.lax.dot_general(
         wht_ref[:, :], a1c, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     z2t = z2t + bht_ref[:, 0:1].astype(jnp.float32)
     y_ref[0] = jax.nn.sigmoid(z2t)
-    # residual dtype follows the weights: bf16 in mixed-precision training
-    # (cheap store), f32 in full-precision/parity mode (exact backward)
-    a1_ref[0] = a1.astype(a1_ref.dtype)
 
 
-def _fwd_pallas(fold, coords, w1, b1, wht, bht):
+def _fwd_pallas(fold, coords, whid, bhid, wht, bht, resid):
     b, _, h = fold.shape
     hw = coords.shape[0]
     n_out = wht.shape[0]
-    pt = _pick_tile(hw, max_tile=1024)
+    lh = whid.shape[0]
+    pt = _pick_tile(hw, lh, backward=False)
     grid = (b, hw // pt)
 
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, resid=resid),
         grid=grid,
         in_specs=[
             pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, h), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, h), lambda i, j: (0, 0),
+            pl.BlockSpec((lh, h, h), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i, j: (0, 0),
+            pl.BlockSpec((lh, h), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_out, h), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -130,14 +135,14 @@ def _fwd_pallas(fold, coords, w1, b1, wht, bht):
         out_specs=(
             pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pt, h), lambda i, j: (i, j, 0),
+            pl.BlockSpec((lh, 1, pt, h), lambda i, j: (0, i, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_out, hw), jnp.float32),
-            jax.ShapeDtypeStruct((b, hw, h), w1.dtype),
+            jax.ShapeDtypeStruct((lh, b, hw, h), whid.dtype),
         ),
-    )(coords, fold, w1, b1, wht, bht)
+    )(coords, fold, whid, bhid, wht, bht)
 
 
 # ---------------------------------------------------------------------------
@@ -145,17 +150,17 @@ def _fwd_pallas(fold, coords, w1, b1, wht, bht):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(x_ref, f_ref, w1_ref, wht_ref, a1_ref, y_ref, g_ref,
-                df_ref, dw1_ref, db1_ref, dwht_ref, dbht_ref):
+def _bwd_kernel(x_ref, f_ref, wh_ref, wht_ref, acts_ref, y_ref, g_ref,
+                df_ref, dwh_ref, dbh_ref, dwht_ref, dbht_ref, *,
+                resid: bool):
     """Backward for one tile using the saved residuals.
 
-    a1_ref: (1, Pt, H) bf16 saved by the forward (skips the H x H recompute
-    GEMM); y_ref: (1, No, Pt) the forward's own sigmoid output — it IS the
-    head's backward residual, so nothing of the head is recomputed.  a0 is
+    acts_ref: (Lh, 1, Pt, H) saved hidden activations; y_ref: (1, No, Pt)
+    the forward's sigmoid output (the head's backward residual).  a0 is
     recomputed from the fold (VPU-only, cheap).
 
-    g_ref: (1, No, Pt) cotangent of y.  Accumulators dw1/db1/dwht/dbht use a
-    constant index map — the TPU grid runs sequentially, so += is safe.
+    g_ref: (1, No, Pt) cotangent of y.  Accumulators dwh/dbh/dwht/dbht use
+    constant index maps — the TPU grid runs sequentially, so += is safe.
     df_ref (1, 4, H) accumulates over the pixel-tile axis per image.
     """
     i = pl.program_id(0)
@@ -167,58 +172,72 @@ def _bwd_kernel(x_ref, f_ref, w1_ref, wht_ref, a1_ref, y_ref, g_ref,
     w1r = f_ref[0, 1:2, :]
     cr = f_ref[0, 2:3, :]
 
-    # recompute only the (VPU) first layer; a1 comes from the residual
+    # recompute only the (VPU) first layer; hidden acts come from residuals
     h0 = x0 * w0r + x1 * w1r + cr
     a0 = jnp.tanh(h0)
-    a0c = a0.astype(w1_ref.dtype)
-    a1c = a1_ref[0]                            # (Pt, H) bf16
-    a1 = a1c.astype(jnp.float32)
+
+    n_hidden = wh_ref.shape[0]
+    a_last = acts_ref[n_hidden - 1, 0].astype(jnp.float32)   # (Pt, H)
 
     s = y_ref[0]                               # (No, Pt) = sigmoid(z2)
     dz2t = g_ref[0] * s * (1.0 - s)
     dz2c = dz2t.astype(wht_ref.dtype)
 
-    # dWh^T (No, H) = dz2t (No, Pt) . a1 (Pt, H)
+    # dWh^T (No, H) = dz2t (No, Pt) . a_last (Pt, H)
+    a_lastc = a_last.astype(wht_ref.dtype)
     dwht = jax.lax.dot_general(
-        dz2c, a1c, (((1,), (0,)), ((), ())),
+        dz2c, a_lastc, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dbht = jnp.sum(dz2t, axis=1, keepdims=True)            # (No, 1)
-    # da1 (Pt, H) = dz2t (No, Pt)^T . wht (No, H) — K = n_out, tiny
-    da1 = jax.lax.dot_general(
+    # da (Pt, H) = dz2t (No, Pt)^T . wht (No, H) — K = n_out, tiny
+    da = jax.lax.dot_general(
         dz2c, wht_ref[:, :], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    dh1 = da1 * (1.0 - a1 * a1)                # tanh'
-    dh1c = dh1.astype(w1_ref.dtype)
-    # contracted via dimension numbers — no materialised transposes
-    dw1 = jax.lax.dot_general(                 # a0^T . dh1 -> (H, H)
-        a0c, dh1c, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    db1 = jnp.sum(dh1, axis=0, keepdims=True)
-    da0 = jax.lax.dot_general(                 # dh1 . W1^T -> (Pt, H)
-        dh1c, w1_ref[:, :], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    first_step = jnp.logical_and(i == 0, j == 0)
+    dwh_acc = []
+    dbh_acc = []
+    a_out = a_last
+    for l in range(n_hidden - 1, -1, -1):
+        a_in = (acts_ref[l - 1, 0].astype(jnp.float32) if l > 0 else a0)
+        dh = da * (1.0 - a_out * a_out)        # tanh'
+        dhc = dh.astype(wh_ref.dtype)
+        a_inc = a_in.astype(wh_ref.dtype)
+        dwl = jax.lax.dot_general(             # a_in^T . dh -> (H, H)
+            a_inc, dhc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbl = jnp.sum(dh, axis=0, keepdims=True)
+        da = jax.lax.dot_general(              # dh . W_l^T -> (Pt, H)
+            dhc, wh_ref[l], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if resid:
+            da = da + dh
+        dwh_acc.append((l, dwl))
+        dbh_acc.append((l, dbl))
+        a_out = a_in
 
-    dh0 = da0 * (1.0 - a0 * a0)                # (Pt, H)
+    dh0 = da * (1.0 - a0 * a0)                 # (Pt, H)
     dw0r = jnp.sum(x0 * dh0, axis=0, keepdims=True)    # (1, H)
     dw1r = jnp.sum(x1 * dh0, axis=0, keepdims=True)
     dcr = jnp.sum(dh0, axis=0, keepdims=True)
     dfold = jnp.concatenate([dw0r, dw1r, dcr,
                              jnp.zeros_like(dcr)], axis=0)[None]  # (1,4,H)
 
-    first_step = jnp.logical_and(i == 0, j == 0)
-
     @pl.when(first_step)
     def _():
-        dw1_ref[:, :] = dw1
-        db1_ref[:, :] = db1
+        for l, dwl in dwh_acc:
+            dwh_ref[l] = dwl
+        for l, dbl in dbh_acc:
+            dbh_ref[l:l + 1, :] = dbl
         dwht_ref[:, :] = dwht
         dbht_ref[:, :] = dbht
 
     @pl.when(jnp.logical_not(first_step))
     def _():
-        dw1_ref[:, :] += dw1
-        db1_ref[:, :] += db1
+        for l, dwl in dwh_acc:
+            dwh_ref[l] += dwl
+        for l, dbl in dbh_acc:
+            dbh_ref[l:l + 1, :] += dbl
         dwht_ref[:, :] += dwht
         dbht_ref[:, :] += dbht
 
@@ -231,43 +250,45 @@ def _bwd_kernel(x_ref, f_ref, w1_ref, wht_ref, a1_ref, y_ref, g_ref,
         df_ref[:, :, :] += dfold
 
 
-def _bwd_pallas(fold, coords, w1, wht, a1, y, g):
+def _bwd_pallas(fold, coords, whid, wht, acts, y, g, resid):
     b, _, h = fold.shape
     hw = coords.shape[0]
     n_out = wht.shape[0]
-    pt = _pick_tile(hw, max_tile=1024)
+    lh = whid.shape[0]
+    pt = _pick_tile(hw, lh, backward=True)
     grid = (b, hw // pt)
 
     out_shapes = (
         jax.ShapeDtypeStruct((b, 4, h), jnp.float32),      # dfold
-        jax.ShapeDtypeStruct((h, h), jnp.float32),         # dW1
-        jax.ShapeDtypeStruct((1, h), jnp.float32),         # db1
+        jax.ShapeDtypeStruct((lh, h, h), jnp.float32),     # dW hidden
+        jax.ShapeDtypeStruct((lh, h), jnp.float32),        # db hidden
         jax.ShapeDtypeStruct((n_out, h), jnp.float32),     # dWh^T
         jax.ShapeDtypeStruct((n_out, 1), jnp.float32),     # dbh^T
     )
     out_specs = (
         pl.BlockSpec((1, 4, h), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((lh, h, h), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((lh, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_out, h), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((n_out, 1), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, resid=resid),
         grid=grid,
         in_specs=[
             pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, h), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, h), lambda i, j: (0, 0),
+            pl.BlockSpec((lh, h, h), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_out, h), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pt, h), lambda i, j: (i, j, 0),
+            pl.BlockSpec((lh, 1, pt, h), lambda i, j: (0, i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
@@ -276,7 +297,7 @@ def _bwd_pallas(fold, coords, w1, wht, a1, y, g):
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-    )(coords, fold, w1, wht, a1, y, g)
+    )(coords, fold, whid, wht, acts, y, g)
 
 
 # ---------------------------------------------------------------------------
@@ -284,29 +305,31 @@ def _bwd_pallas(fold, coords, w1, wht, a1, y, g):
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def fused_decoder_tail(fold: jnp.ndarray, coords: jnp.ndarray,
-                       w1: jnp.ndarray, b1: jnp.ndarray,
-                       wht: jnp.ndarray, bht: jnp.ndarray) -> jnp.ndarray:
+                       whid: jnp.ndarray, bhid: jnp.ndarray,
+                       wht: jnp.ndarray, bht: jnp.ndarray,
+                       resid: bool = False) -> jnp.ndarray:
     """fold: (B, 4, H) rows [w0, w1, c, unused]; coords: (HW, 2);
-    w1: (H, H); b1: (H,); wht: (n_out, H) pre-transposed head weight;
-    bht: (n_out,).  Returns sigmoid head output (B, n_out, HW) float32."""
-    y, _ = _fwd_pallas(fold, coords, w1, b1[None, :], wht, bht[:, None])
+    whid: (Lh, H, H) stacked hidden weights; bhid: (Lh, H);
+    wht: (n_out, H) pre-transposed head weight; bht: (n_out,).
+    Returns sigmoid head output (B, n_out, HW) float32."""
+    y, _ = _fwd_pallas(fold, coords, whid, bhid, wht, bht[:, None], resid)
     return y
 
 
-def _vjp_fwd(fold, coords, w1, b1, wht, bht):
-    y, a1 = _fwd_pallas(fold, coords, w1, b1[None, :], wht, bht[:, None])
-    return y, (fold, coords, w1, b1, wht, bht, a1, y)
+def _vjp_fwd(fold, coords, whid, bhid, wht, bht, resid):
+    y, acts = _fwd_pallas(fold, coords, whid, bhid, wht, bht[:, None], resid)
+    return y, (fold, coords, whid, wht, acts, y)
 
 
-def _vjp_bwd(res, g):
-    fold, coords, w1, b1, wht, bht, a1, y = res
-    dfold, dw1, db1, dwht, dbht = _bwd_pallas(
-        fold, coords, w1, wht, a1, y, g.astype(jnp.float32))
-    return (dfold.astype(fold.dtype), None, dw1.astype(w1.dtype),
-            db1[0].astype(b1.dtype), dwht.astype(wht.dtype),
-            dbht[:, 0].astype(bht.dtype))
+def _vjp_bwd(resid, res, g):
+    fold, coords, whid, wht, acts, y = res
+    dfold, dwh, dbh, dwht, dbht = _bwd_pallas(
+        fold, coords, whid, wht, acts, y, g.astype(jnp.float32), resid)
+    return (dfold.astype(fold.dtype), None, dwh.astype(whid.dtype),
+            dbh.astype(whid.dtype), dwht.astype(wht.dtype),
+            dbht[:, 0].astype(wht.dtype))
 
 
 fused_decoder_tail.defvjp(_vjp_fwd, _vjp_bwd)
@@ -320,25 +343,27 @@ fused_decoder_tail.defvjp(_vjp_fwd, _vjp_bwd)
 def fused_spatial_generator(params, cfg: SpatialGeneratorConfig,
                             coords: jnp.ndarray, theta, dx, z) -> jnp.ndarray:
     """Drop-in replacement for spatial_generator_apply_folded using the
-    fused kernel.  Pose fold + head transpose + optional softplus stay in
-    XLA (cheap, and the fold's autodiff provides dtheta/ddx/dz/dcoord/
-    dlatent)."""
+    fused kernel.  Pose fold + weight stacking + head transpose + optional
+    softplus stay in XLA (cheap, and the fold's autodiff provides
+    dtheta/ddx/dz/dcoord/dlatent)."""
     from spatialvae_tpu.models.spatial import fold_pose_into_first_layer
 
     w0, w1f, c = fold_pose_into_first_layer(params, cfg, theta, dx, z)
     zeros = jnp.zeros_like(c)
     fold = jnp.stack([w0, w1f, c, zeros], axis=1)      # (B, 4, H)
-    hidden = params["layers"][0]
-    head = params["layers"][1]
+    hidden = params["layers"][:-1]
+    head = params["layers"][-1]
+    whid = jnp.stack([p["w"] for p in hidden])         # (Lh, H, H)
+    bhid = jnp.stack([p["b"] for p in hidden])         # (Lh, H)
     hw = coords.shape[0]
     pad = (-hw) % 256                                  # tile-align pixels
     coords_p = coords.astype(jnp.float32)
     if pad:
         coords_p = jnp.concatenate(
             [coords_p, jnp.zeros((pad, 2), jnp.float32)], axis=0)
-    yt = fused_decoder_tail(fold, coords_p,
-                            hidden["w"], hidden["b"],
-                            head["w"].T, head["b"])    # (B, No, HW+pad)
+    yt = fused_decoder_tail(fold, coords_p, whid, bhid,
+                            head["w"].T, head["b"],
+                            cfg.resid)                 # (B, No, HW+pad)
     y = jnp.swapaxes(yt[..., :hw], 1, 2)               # (B, HW, No)
     if cfg.softplus:
         y = jnp.concatenate(

@@ -16,9 +16,10 @@ from spatialvae_tpu.models.spatial import spatial_generator_apply_folded
 from spatialvae_tpu.transforms.coords import coord_grid
 
 
-def _setup(n_out=3, h=32, n=16, m=16, b=4, z_dim=5):
+def _setup(n_out=3, h=32, n=16, m=16, b=4, z_dim=5, num_layers=2,
+           resid=False):
     cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=h, n_out=n_out,
-                                 num_layers=2)
+                                 num_layers=num_layers, resid=resid)
     params = spatial_generator_init(jax.random.PRNGKey(0), cfg)
     coords = jnp.asarray(coord_grid(n, m))
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
@@ -33,14 +34,52 @@ def test_can_fuse_decoder_gating():
     assert can_fuse_decoder(good, 4096)
     assert can_fuse_decoder(good, 1600)            # padded (particles 40x40)
     assert not can_fuse_decoder(good, 100)         # too small
+    assert can_fuse_decoder(
+        SpatialGeneratorConfig(latent_dim=2, num_layers=4), 4096)
+    assert can_fuse_decoder(
+        SpatialGeneratorConfig(latent_dim=2, num_layers=2, resid=True), 4096)
     for bad in (
-        SpatialGeneratorConfig(latent_dim=2, num_layers=3),
-        SpatialGeneratorConfig(latent_dim=2, num_layers=2, resid=True),
+        SpatialGeneratorConfig(latent_dim=2, num_layers=7),
         SpatialGeneratorConfig(latent_dim=2, num_layers=2,
                                expand_coords=True),
         SpatialGeneratorConfig(latent_dim=2, num_layers=2, bilinear=True),
     ):
         assert not can_fuse_decoder(bad, 4096)
+
+
+def test_fused_deep_and_resid_forward_matches_xla():
+    for num_layers, resid in [(3, False), (4, False), (2, True), (3, True)]:
+        cfg, params, coords, theta, dx, z = _setup(num_layers=num_layers,
+                                                   resid=resid)
+        with pltpu.force_tpu_interpret_mode():
+            y_fused = fused_spatial_generator(params, cfg, coords, theta,
+                                              dx, z)
+        y_ref = spatial_generator_apply_folded(params, cfg, coords, theta,
+                                               dx, z)
+        np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"L={num_layers} resid={resid}")
+
+
+def test_fused_deep_gradients_match_xla():
+    cfg, params, coords, theta, dx, z = _setup(num_layers=3, resid=True)
+
+    def loss_fused(params, theta, dx, z):
+        y = fused_spatial_generator(params, cfg, coords, theta, dx, z)
+        return jnp.sum(jnp.sin(3.0 * y))
+
+    def loss_ref(params, theta, dx, z):
+        y = spatial_generator_apply_folded(params, cfg, coords, theta, dx, z)
+        return jnp.sum(jnp.sin(3.0 * y))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+            params, theta, dx, z)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(params, theta, dx, z)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
 
 
 def test_fused_forward_matches_xla():
