@@ -55,13 +55,16 @@ def can_fuse_decoder(cfg: SpatialGeneratorConfig, hw: int) -> bool:
             and 2 <= cfg.num_layers <= 5 and cfg.n_out <= 8 and hw >= 256)
 
 
-def _pick_tile(hw: int, n_hidden: int, backward: bool) -> int:
+def _pick_tile(hw: int, n_hidden: int, backward: bool, dtype) -> int:
     """Pixel-tile size bounded by VMEM (~16 MB scoped): the forward keeps
-    ~(3 + n_hidden) (Pt, H) buffers live, the backward ~(6 + n_hidden)."""
+    ~(3 + n_hidden) (Pt, H) buffers live, the backward ~(6 + n_hidden);
+    float32 weights/residuals double every buffer vs bfloat16."""
     budget = 1024 if n_hidden <= 1 else 512
     if backward and n_hidden > 2:
         budget = 256
-    for t in (2048, 1024, 512, 256):
+    if dtype == jnp.float32:
+        budget //= 2
+    for t in (2048, 1024, 512, 256, 128):
         if t <= budget and hw % t == 0:
             return t
     return hw
@@ -112,7 +115,7 @@ def _fwd_pallas(fold, coords, whid, bhid, wht, bht, resid):
     hw = coords.shape[0]
     n_out = wht.shape[0]
     lh = whid.shape[0]
-    pt = _pick_tile(hw, lh, backward=False)
+    pt = _pick_tile(hw, lh, backward=False, dtype=whid.dtype)
     grid = (b, hw // pt)
 
     return pl.pallas_call(
@@ -255,7 +258,7 @@ def _bwd_pallas(fold, coords, whid, wht, acts, y, g, resid):
     hw = coords.shape[0]
     n_out = wht.shape[0]
     lh = whid.shape[0]
-    pt = _pick_tile(hw, lh, backward=True)
+    pt = _pick_tile(hw, lh, backward=True, dtype=whid.dtype)
     grid = (b, hw // pt)
 
     out_shapes = (
