@@ -43,3 +43,23 @@ def create_mesh(cfg: MeshConfig, devices=None) -> Mesh:
         f"mesh needs {n} devices, have {len(devices)}")
     arr = np.asarray(devices[:n]).reshape(cfg.data, cfg.model)
     return Mesh(arr, axis_names=("data", "model"))
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None) -> None:
+    """Join a multi-host TPU slice (jax.distributed).
+
+    On Cloud TPU pods the arguments are auto-detected from the environment;
+    pass them explicitly elsewhere.  After this, ``jax.devices()`` spans the
+    slice and ``create_mesh`` lays the ('data', 'model') axes over ICI.
+    Collectives are emitted by GSPMD from the sharding annotations — there
+    is no hand-written communication layer (SURVEY.md section 5.8).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)

@@ -221,6 +221,9 @@ class Trainer:
     def train_epoch(self, dataset, epoch: int, *, progress: bool = True,
                     progress_stream=None) -> Tuple[float, float, float]:
         """One training epoch; returns (elbo, gen_loss, kl) streaming means."""
+        import time
+
+        t_start = time.perf_counter()
         n = len(dataset)
         tcfg = self.tcfg
         z_scale = jnp.asarray(0.0 if epoch < tcfg.z_delay else 1.0,
@@ -261,6 +264,10 @@ class Trainer:
             line = acc.progress_line(epoch, tcfg.num_epochs, n)
             print(line, end="\r", file=stream)
             print(" " * 80, end="\r", file=stream)
+        # throughput observability (the north-star metric, SURVEY.md 5.1);
+        # epoch 0 includes compile time, later epochs are steady-state
+        dt = time.perf_counter() - t_start
+        self.last_images_per_sec = n / dt if dt > 0 else 0.0
         return acc.elbo, acc.gen_loss, acc.kl
 
     def eval_epoch(self, dataset, epoch: int, *, z_scale: float = 1.0
