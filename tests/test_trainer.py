@@ -1,0 +1,102 @@
+"""Trainer-level behaviour tests: mixed precision, eval correctness,
+augmented training, error handling."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spatialvae_tpu.core.config import InferenceConfig, SpatialGeneratorConfig
+from spatialvae_tpu.data import ArrayDataset
+from spatialvae_tpu.objectives import ElboConfig, elbo_minibatch
+from spatialvae_tpu.train import Trainer, TrainConfig
+from spatialvae_tpu.transforms.coords import coord_grid
+
+
+def _trainer(n=8, batch=16, compute_dtype="float32", augment=False,
+             seed=0):
+    q_cfg = InferenceConfig(n=n * n, latent_dim=5, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, num_layers=2)
+    ecfg = ElboConfig(likelihood="bernoulli", theta_prior=np.pi)
+    tcfg = TrainConfig(minibatch_size=batch, num_epochs=2, seed=seed,
+                       compute_dtype=compute_dtype, image_shape=(n, n),
+                       augment_rotation=augment)
+    return Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, n))
+
+
+def test_bfloat16_training_runs_and_improves():
+    t = _trainer(compute_dtype="bfloat16")
+    rng = np.random.RandomState(0)
+    data = ArrayDataset(jnp.asarray(rng.rand(64, 64).astype(np.float32)))
+    e0 = t.train_epoch(data, 0, progress=False)[0]
+    for epoch in range(1, 6):
+        e1 = t.train_epoch(data, epoch, progress=False)[0]
+    assert np.isfinite(e0) and np.isfinite(e1)
+    assert e1 > e0
+    # params stay float32 (mixed precision: cast only inside the loss)
+    assert t.state.params["q"]["layers"][0]["w"].dtype == jnp.float32
+
+
+def test_augmented_training_runs():
+    t = _trainer(augment=True)
+    rng = np.random.RandomState(1)
+    data = ArrayDataset(jnp.asarray(rng.rand(48, 64).astype(np.float32)))
+    elbo, gen, kl = t.train_epoch(data, 0, progress=False)
+    assert np.isfinite(elbo)
+
+
+def test_eval_epoch_matches_manual_elbo():
+    """eval_epoch's weighted mean must equal recomputing elbo_minibatch
+    per batch with the same keys."""
+    t = _trainer(batch=16)
+    rng = np.random.RandomState(2)
+    data = ArrayDataset(jnp.asarray(rng.rand(40, 64).astype(np.float32)))
+
+    elbo, gen, kl = t.eval_epoch(data, epoch=3)
+
+    # manual: two full batches of 16 + tail of 8, sequential order
+    key = jax.random.fold_in(t.base_key, 1_000_000_007 + 3)
+    zs = jnp.asarray(1.0, jnp.float32)
+    total, count = 0.0, 0
+    k = key
+    for start, size in [(0, 16), (16, 16)]:
+        k, sub = jax.random.split(k)
+        e, *_ = elbo_minibatch(t.state.params["q"], t.state.params["p"],
+                               t.q_cfg, t.p_cfg, t.ecfg, t.coords,
+                               data.y[start:start + size], sub, z_scale=zs)
+        total += float(e) * size
+        count += size
+    k_tail = jax.random.fold_in(key, 2)
+    e, *_ = elbo_minibatch(t.state.params["q"], t.state.params["p"],
+                           t.q_cfg, t.p_cfg, t.ecfg, t.coords,
+                           data.y[32:40], k_tail, z_scale=zs)
+    total += float(e) * 8
+    count += 8
+    np.testing.assert_allclose(elbo, total / count, rtol=1e-5)
+
+
+def test_load_model_rejects_garbage(tmp_path):
+    from spatialvae_tpu.train.checkpoint import load_model
+
+    bad = tmp_path / "bad.sav"
+    bad.write_bytes(b"not a checkpoint")
+    with pytest.raises(Exception):
+        load_model(str(bad))
+
+    import pickle
+
+    wrong = tmp_path / "wrong.sav"
+    wrong.write_bytes(pickle.dumps({"format": "other"}))
+    with pytest.raises(ValueError):
+        load_model(str(wrong))
+
+
+def test_nan_warning_emitted(capsys):
+    """Divergence detection: a poisoned dataset triggers the warning."""
+    t = _trainer()
+    data = ArrayDataset(jnp.full((32, 64), jnp.nan))
+    t.train_epoch(data, 0, progress=False)
+    err = capsys.readouterr().err
+    assert "non-finite training metrics" in err
