@@ -44,6 +44,10 @@ def fused_adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
 
         def leaf(g, m, v):
+            # accept mixed-precision grads directly: the upcast fuses into
+            # this single elementwise pass instead of materialising an f32
+            # copy of the gradient tree
+            g = g.astype(m.dtype)
             m = b1 * m + (1.0 - b1) * g
             v = b2 * v + (1.0 - b2) * (g * g)
             update = -learning_rate * (m / c1) / (jnp.sqrt(v / c2) + eps)

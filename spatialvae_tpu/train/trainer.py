@@ -165,7 +165,8 @@ class Trainer:
 
         def train_step(state, y, ctf, key, z_scale):
             (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale)
-            grads = _cast_tree(grads, jnp.float32)
+            # fused_adam upcasts mixed-precision grads inside its single
+            # elementwise pass — no materialised f32 gradient copy
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
