@@ -10,8 +10,6 @@ reduces it with the identical weighted-mean recurrence.
 
 from __future__ import annotations
 
-import sys
-
 import numpy as np
 
 PROGRESS_TEMPLATE = ("# [{}/{}] training {:.1%}, ELBO={:.5f}, "
@@ -47,8 +45,3 @@ class StreamingMeans:
                                         self.count / n_total, self.elbo,
                                         self.gen_loss, self.kl)
 
-
-def print_progress(line: str, final: bool = False):
-    print(line, end="\r", file=sys.stderr)
-    if final:
-        print(" " * 80, end="\r", file=sys.stderr)
