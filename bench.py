@@ -80,7 +80,7 @@ def main():
     from spatialvae_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    batch = 1024
+    batch = 2048
     fused = jax.default_backend() == "tpu"
     compare = False
     for a in sys.argv[1:]:
