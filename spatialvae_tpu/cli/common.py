@@ -81,13 +81,16 @@ def maybe_mesh(args):
     return mesh
 
 
-def make_dataset(y, ctf=None, mesh=None):
-    """ArrayDataset in HBM; sharded over the 'data' axis when a mesh is
-    active and the image count divides evenly (replicated otherwise)."""
+def make_dataset(y, ctf=None, mesh=None, preload=True):
+    """ArrayDataset in HBM (sharded over the 'data' axis when a mesh is
+    active and the image count divides evenly), or host-resident with
+    per-step streaming when ``preload`` is False (--no-preload)."""
     import jax.numpy as jnp
 
     from spatialvae_tpu.data import ArrayDataset
 
+    if not preload:
+        return ArrayDataset.from_numpy(y, ctf, preload=False)
     sharding = None
     if mesh is not None and y.shape[0] % mesh.shape["data"] == 0:
         from spatialvae_tpu.parallel.sharding import batch_sharding

@@ -250,8 +250,11 @@ def run(args):
                           mesh=mesh)
         maybe_resume(trainer, args)
 
-        data_train = make_dataset(y_train, ctf_train, mesh=mesh)
-        data_test = make_dataset(y_test, ctf_test, mesh=mesh)
+        preload = not args.no_preload
+        data_train = make_dataset(y_train, ctf_train, mesh=mesh,
+                                  preload=preload)
+        data_test = make_dataset(y_test, ctf_test, mesh=mesh,
+                                 preload=preload)
 
         print("\t".join(["Epoch", "Split", "ELBO", "Error", "KL"]))
 

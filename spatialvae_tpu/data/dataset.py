@@ -22,17 +22,29 @@ import numpy as np
 
 @dataclass
 class ArrayDataset:
-    """y: (N, ...) images; ctf: optional (N, kn, km) per-image CTF kernels."""
+    """y: (N, ...) images; ctf: optional (N, kn, km) per-image CTF kernels.
+
+    When ``host_resident`` the arrays stay numpy on the host and the epoch
+    driver streams one minibatch per step to the device instead of scanning
+    over an in-HBM dataset (the reference's --no-preload,
+    train_particles.py:405-413) — for stacks larger than device memory.
+    """
 
     y: jax.Array
     ctf: Optional[jax.Array] = None
+    host_resident: bool = False
 
     def __len__(self) -> int:
         return self.y.shape[0]
 
     @staticmethod
     def from_numpy(y: np.ndarray, ctf: Optional[np.ndarray] = None,
-                   device=None, sharding=None) -> "ArrayDataset":
+                   device=None, sharding=None,
+                   preload: bool = True) -> "ArrayDataset":
+        if not preload:
+            return ArrayDataset(y=np.asarray(y),
+                                ctf=None if ctf is None else np.asarray(ctf),
+                                host_resident=True)
         put = (lambda a: jax.device_put(a, sharding or device))
         return ArrayDataset(
             y=put(jnp.asarray(y)),

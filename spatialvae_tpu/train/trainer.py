@@ -236,16 +236,42 @@ class Trainer:
 
         state = self.state
         metrics = None
-        if num_full:
-            state, metrics = self._train_epoch_scan(
-                state, dataset.y, dataset.ctf, full_idx, step_key, z_scale)
         tail_metrics = None
-        if tail:
-            k_tail = jax.random.fold_in(step_key, num_full)
-            y = dataset.y[tail_idx]
-            ctf = None if dataset.ctf is None else dataset.ctf[tail_idx]
-            state, tail_metrics = self._train_step(state, y, ctf, k_tail,
-                                                   z_scale)
+        if getattr(dataset, "host_resident", False):
+            # --no-preload: stream one minibatch per step from host RAM;
+            # async dispatch overlaps the next H2D copy with compute
+            perm_np = np.asarray(perm)
+            rows = []
+            for i in range(num_full):
+                idx = perm_np[i * tcfg.minibatch_size:
+                              (i + 1) * tcfg.minibatch_size]
+                y = jnp.asarray(dataset.y[idx])
+                ctf = (None if dataset.ctf is None
+                       else jnp.asarray(dataset.ctf[idx]))
+                k = jax.random.fold_in(step_key, i)
+                state, aux = self._train_step(state, y, ctf, k, z_scale)
+                rows.append(aux)
+            if rows:
+                metrics = jnp.stack(rows)
+            if tail:
+                idx = perm_np[num_full * tcfg.minibatch_size:]
+                y = jnp.asarray(dataset.y[idx])
+                ctf = (None if dataset.ctf is None
+                       else jnp.asarray(dataset.ctf[idx]))
+                k_tail = jax.random.fold_in(step_key, num_full)
+                state, tail_metrics = self._train_step(state, y, ctf,
+                                                       k_tail, z_scale)
+        else:
+            if num_full:
+                state, metrics = self._train_epoch_scan(
+                    state, dataset.y, dataset.ctf, full_idx, step_key,
+                    z_scale)
+            if tail:
+                k_tail = jax.random.fold_in(step_key, num_full)
+                y = dataset.y[tail_idx]
+                ctf = None if dataset.ctf is None else dataset.ctf[tail_idx]
+                state, tail_metrics = self._train_step(state, y, ctf,
+                                                       k_tail, z_scale)
         self.state = state
 
         acc = StreamingMeans()
@@ -278,14 +304,24 @@ class Trainer:
         full_idx, tail_idx, num_full, tail = self._index_batches(n, None)
         zs = jnp.asarray(z_scale, dtype=jnp.float32)
         acc = StreamingMeans()
-        if num_full:
+        b = self.tcfg.minibatch_size
+        if getattr(dataset, "host_resident", False):
+            for i in range(num_full):
+                y = jnp.asarray(dataset.y[i * b:(i + 1) * b])
+                ctf = (None if dataset.ctf is None
+                       else jnp.asarray(dataset.ctf[i * b:(i + 1) * b]))
+                k = jax.random.fold_in(key, i)
+                m = self._eval_step(self.state.params, y, ctf, k, zs)
+                acc.update(b, *[float(v) for v in np.asarray(m)])
+        elif num_full:
             metrics = self._eval_epoch_scan(self.state.params, dataset.y,
                                             dataset.ctf, full_idx, key, zs)
-            acc.update_array(np.asarray(metrics), self.tcfg.minibatch_size)
+            acc.update_array(np.asarray(metrics), b)
         if tail:
             k_tail = jax.random.fold_in(key, num_full)
-            y = dataset.y[tail_idx]
-            ctf = None if dataset.ctf is None else dataset.ctf[tail_idx]
+            y = jnp.asarray(dataset.y[num_full * b:])
+            ctf = (None if dataset.ctf is None
+                   else jnp.asarray(dataset.ctf[num_full * b:]))
             m = self._eval_step(self.state.params, y, ctf, k_tail, zs)
             acc.update(tail, *[float(v) for v in np.asarray(m)])
         return acc.elbo, acc.gen_loss, acc.kl

