@@ -22,7 +22,15 @@ from spatialvae_tpu.models import inference_init, spatial_generator_init
 from spatialvae_tpu.objectives import ElboConfig, elbo_minibatch
 from spatialvae_tpu.transforms.coords import coord_grid
 
-torch.set_default_dtype(torch.float64)
+
+@pytest.fixture(autouse=True)
+def _torch_float64():
+    """The oracle runs in float64; restore the global default afterwards so
+    other test modules (which build float32 reference models) are unaffected."""
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    yield
+    torch.set_default_dtype(prev)
 
 
 def _torch_params(jx_params):
