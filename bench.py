@@ -22,7 +22,7 @@ import numpy as np
 
 
 def run_bench(batch: int, fused: bool, epochs: int = 3,
-              steps_per_epoch: int = 16) -> float:
+              steps_per_epoch: int = 16, int8: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +46,8 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
     p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=500,
                                    n_out=channels, num_layers=2)
     ecfg = ElboConfig(rotate=True, translate=True, theta_prior=np.pi,
-                      likelihood="bernoulli", channels=channels, fused=fused)
+                      likelihood="bernoulli", channels=channels, fused=fused,
+                      int8=int8)
     tcfg = TrainConfig(minibatch_size=batch, learning_rate=1e-4,
                        num_epochs=3, seed=0, compute_dtype="bfloat16",
                        image_shape=(n, m), channels=channels)
@@ -67,7 +68,8 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
     dt = time.perf_counter() - t0
 
     images_per_sec = epochs * n_images / dt
-    print(f"# fused={fused} batch={batch} steps/epoch={steps_per_epoch} "
+    print(f"# fused={fused} int8={int8} batch={batch} "
+          f"steps/epoch={steps_per_epoch} "
           f"epochs={epochs} compile={compile_s:.1f}s wall={dt:.2f}s "
           f"step={dt / (epochs * steps_per_epoch) * 1e3:.1f}ms",
           file=sys.stderr)
@@ -83,18 +85,21 @@ def main():
     batch = 2048
     fused = jax.default_backend() == "tpu"
     compare = False
+    int8 = False
     for a in sys.argv[1:]:
         if a == "--no-fused":
             fused = False
         elif a == "--compare":
             compare = True
+        elif a == "--int8":
+            int8 = True
         else:
             batch = int(a)
 
     if compare:
         xla = run_bench(batch, fused=False)
         print(f"# XLA path: {xla:.0f} img/s", file=sys.stderr)
-    images_per_sec = run_bench(batch, fused=fused)
+    images_per_sec = run_bench(batch, fused=fused, int8=int8)
 
     result = {
         "metric": "train images/sec/chip (galaxy_zoo 64px z=20, bf16)",

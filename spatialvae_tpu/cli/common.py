@@ -47,6 +47,10 @@ def add_common_extras(parser: argparse.ArgumentParser):
             help="model/pixel mesh axis size for multi-chip runs (additive)")
     add_arg(parser, "--no-fused", action="store_true",
             help="disable the fused Pallas decoder kernel (additive)")
+    add_arg(parser, "--int8-decoder", action="store_true",
+            help="EXPERIMENTAL: int8-MXU decoder GEMMs (~2x decoder "
+                 "throughput, ~0.5%% hidden-layer quantisation error; "
+                 "breaks the 1%%-ELBO parity guarantee) (additive)")
     add_arg(parser, "--debug-nans", action="store_true",
             help="enable jax debug_nans checking (additive)")
     add_arg(parser, "--resume-generator", default=None,

@@ -1,0 +1,284 @@
+"""Experimental int8-MXU variant of the fused decoder (opt-in).
+
+v5e executes int8 matmuls at ~2x bf16 throughput.  The decoder's big GEMMs
+are unusually well-conditioned for int8: the activations are tanh outputs in
+[-1, 1] (FIXED scale 127 — no dynamic range estimation needed), and only
+the gradient tile needs a dynamic per-tile scale.  Scheme:
+
+  forward:  a0q = round(127 * tanh(h0)) : int8
+            h1  = (a0q @ W1q) * (s_w / 127) + b1       # int8 x int8 -> int32
+            a1, head in f32/bf16 exactly as the main kernel
+  backward: dh1q = round(dh1 / s_g) with s_g = max|dh1| / 127 per tile
+            dW1 += (a0q^T @ dh1q) * (s_g / 127)
+            da0  = (dh1q @ W1q^T) * (s_g * s_w)
+
+W1q/s_w are computed once per step in XLA (per-tensor symmetric).  This
+trades ~0.5% relative error in the hidden layer for ~2x GEMM throughput —
+it does NOT preserve the 1%-ELBO parity guarantee and is therefore gated
+behind ``--int8-decoder`` / ``ElboConfig.int8``.
+
+Only the default decoder shape (num_layers=2, no resid) is supported; other
+configs fall back to the bf16 fused kernel or XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spatialvae_tpu.core.config import SpatialGeneratorConfig
+
+
+def can_fuse_int8(cfg: SpatialGeneratorConfig, hw: int) -> bool:
+    return (not cfg.expand_coords and not cfg.bilinear and not cfg.resid
+            and cfg.num_layers == 2 and cfg.n_out <= 8 and hw >= 256)
+
+
+def _pick_tile(hw: int, backward: bool) -> int:
+    budget = 1024 if not backward else 1024
+    for t in (1024, 512, 256):
+        if t <= budget and hw % t == 0:
+            return t
+    return hw
+
+
+def _quant_sym(w: jnp.ndarray):
+    """Per-tensor symmetric int8 quantisation (XLA side)."""
+    s = jnp.max(jnp.abs(w)).astype(jnp.float32) / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127
+                 ).astype(jnp.int8)
+    return q, s.reshape(1, 1)
+
+
+def _fwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, bht_ref,
+                y_ref, a1_ref):
+    x0 = x_ref[:, 0:1]
+    x1 = x_ref[:, 1:2]
+    w0 = f_ref[0, 0:1, :]
+    w1f = f_ref[0, 1:2, :]
+    c = f_ref[0, 2:3, :]
+
+    h0 = x0 * w0 + x1 * w1f + c
+    a0 = jnp.tanh(h0)                          # in [-1, 1]
+    a0q = jnp.round(a0 * 127.0).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(                 # int8 x int8 -> int32 MXU
+        a0q, w1q_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    scale = sw_ref[0, 0] * (1.0 / 127.0)
+    h1 = acc.astype(jnp.float32) * scale + b1_ref[0:1, :]
+    a1 = jnp.tanh(h1)
+
+    a1c = a1.astype(wht_ref.dtype)
+    z2t = jax.lax.dot_general(
+        wht_ref[:, :], a1c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    z2t = z2t + bht_ref[:, 0:1].astype(jnp.float32)
+    y_ref[0] = jax.nn.sigmoid(z2t)
+    a1_ref[0] = a1.astype(a1_ref.dtype)
+
+
+def _bwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, wht_ref, a1_ref, y_ref,
+                g_ref, df_ref, dw1_ref, db1_ref, dwht_ref, dbht_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    x0 = x_ref[:, 0:1]
+    x1 = x_ref[:, 1:2]
+    w0r = f_ref[0, 0:1, :]
+    w1r = f_ref[0, 1:2, :]
+    cr = f_ref[0, 2:3, :]
+
+    h0 = x0 * w0r + x1 * w1r + cr
+    a0 = jnp.tanh(h0)
+    a0q = jnp.round(a0 * 127.0).astype(jnp.int8)
+    a1 = a1_ref[0].astype(jnp.float32)
+
+    s = y_ref[0]
+    dz2t = g_ref[0] * s * (1.0 - s)
+    dz2c = dz2t.astype(wht_ref.dtype)
+
+    a1c = a1.astype(wht_ref.dtype)
+    dwht = jax.lax.dot_general(
+        dz2c, a1c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbht = jnp.sum(dz2t, axis=1, keepdims=True)
+    da1 = jax.lax.dot_general(
+        dz2c, wht_ref[:, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dh1 = da1 * (1.0 - a1 * a1)                # (Pt, H) f32, unbounded
+    sg = jnp.max(jnp.abs(dh1)) * (1.0 / 127.0) + 1e-30
+    dh1q = jnp.clip(jnp.round(dh1 / sg), -127, 127).astype(jnp.int8)
+
+    dw1 = jax.lax.dot_general(                 # a0^T . dh1 (int8 MXU)
+        a0q, dh1q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * (sg * (1.0 / 127.0))
+    db1 = jnp.sum(dh1, axis=0, keepdims=True)
+    da0 = jax.lax.dot_general(                 # dh1 . W1^T (int8 MXU)
+        dh1q, w1q_ref[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * (sg * sw_ref[0, 0])
+
+    dh0 = da0 * (1.0 - a0 * a0)
+    dw0r = jnp.sum(x0 * dh0, axis=0, keepdims=True)
+    dw1r = jnp.sum(x1 * dh0, axis=0, keepdims=True)
+    dcr = jnp.sum(dh0, axis=0, keepdims=True)
+    dfold = jnp.concatenate([dw0r, dw1r, dcr,
+                             jnp.zeros_like(dcr)], axis=0)[None]
+
+    first_step = jnp.logical_and(i == 0, j == 0)
+
+    @pl.when(first_step)
+    def _():
+        dw1_ref[:, :] = dw1
+        db1_ref[:, :] = db1
+        dwht_ref[:, :] = dwht
+        dbht_ref[:, :] = dbht
+
+    @pl.when(jnp.logical_not(first_step))
+    def _():
+        dw1_ref[:, :] += dw1
+        db1_ref[:, :] += db1
+        dwht_ref[:, :] += dwht
+        dbht_ref[:, :] += dbht
+
+    @pl.when(j == 0)
+    def _():
+        df_ref[:, :, :] = dfold
+
+    @pl.when(j != 0)
+    def _():
+        df_ref[:, :, :] += dfold
+
+
+def _fwd_pallas(fold, coords, w1q, sw, b1, wht, bht):
+    b, _, h = fold.shape
+    hw = coords.shape[0]
+    n_out = wht.shape[0]
+    pt = _pick_tile(hw, backward=False)
+    grid = (b, hw // pt)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((pt, 2), lambda i, j: (j, 0), memory_space=vm),
+            pl.BlockSpec((1, 4, h), lambda i, j: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
+                         memory_space=vm),
+            pl.BlockSpec((1, pt, h), lambda i, j: (i, j, 0),
+                         memory_space=vm),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_out, hw), jnp.float32),
+            jax.ShapeDtypeStruct((b, hw, h), jnp.bfloat16),
+        ),
+    )(coords, fold, w1q, sw, b1, wht, bht)
+
+
+def _bwd_pallas(fold, coords, w1q, sw, wht, a1, y, g):
+    b, _, h = fold.shape
+    hw = coords.shape[0]
+    n_out = wht.shape[0]
+    pt = _pick_tile(hw, backward=True)
+    grid = (b, hw // pt)
+    vm = pltpu.VMEM
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, 4, h), jnp.float32),
+        jax.ShapeDtypeStruct((h, h), jnp.float32),
+        jax.ShapeDtypeStruct((1, h), jnp.float32),
+        jax.ShapeDtypeStruct((n_out, h), jnp.float32),
+        jax.ShapeDtypeStruct((n_out, 1), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, 4, h), lambda i, j: (i, 0, 0), memory_space=vm),
+        pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((pt, 2), lambda i, j: (j, 0), memory_space=vm),
+            pl.BlockSpec((1, 4, h), lambda i, j: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, pt, h), lambda i, j: (i, j, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
+                         memory_space=vm),
+            pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
+                         memory_space=vm),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+    )(coords, fold, w1q, sw, wht, a1, y, g)
+
+
+@jax.custom_vjp
+def fused_decoder_tail_int8(fold, coords, w1, b1, wht, bht):
+    w1q, sw = _quant_sym(w1)
+    y, _ = _fwd_pallas(fold, coords, w1q, sw, b1[None, :], wht, bht[:, None])
+    return y
+
+
+def _vjp_fwd(fold, coords, w1, b1, wht, bht):
+    w1q, sw = _quant_sym(w1)
+    y, a1 = _fwd_pallas(fold, coords, w1q, sw, b1[None, :], wht,
+                        bht[:, None])
+    # zero-size dtype sentinels keep the residual pytree array-only
+    return y, (fold, coords, w1q, sw, wht, a1, y,
+               jnp.zeros((0,), w1.dtype), jnp.zeros((0,), b1.dtype))
+
+
+def _vjp_bwd(res, g):
+    fold, coords, w1q, sw, wht, a1, y, w1_s, b1_s = res
+    dfold, dw1, db1, dwht, dbht = _bwd_pallas(
+        fold, coords, w1q, sw, wht, a1, y, g.astype(jnp.float32))
+    return (dfold.astype(fold.dtype), None, dw1.astype(w1_s.dtype),
+            db1[0].astype(b1_s.dtype), dwht.astype(wht.dtype),
+            dbht[:, 0].astype(wht.dtype))
+
+
+fused_decoder_tail_int8.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_spatial_generator_int8(params, cfg: SpatialGeneratorConfig,
+                                 coords, theta, dx, z):
+    from spatialvae_tpu.models.spatial import fold_pose_into_first_layer
+
+    w0, w1f, c = fold_pose_into_first_layer(params, cfg, theta, dx, z)
+    fold = jnp.stack([w0, w1f, c, jnp.zeros_like(c)], axis=1)
+    hidden = params["layers"][0]
+    head = params["layers"][1]
+    hw = coords.shape[0]
+    pad = (-hw) % 256
+    coords_p = coords.astype(jnp.float32)
+    if pad:
+        coords_p = jnp.concatenate(
+            [coords_p, jnp.zeros((pad, 2), jnp.float32)], axis=0)
+    yt = fused_decoder_tail_int8(fold, coords_p, hidden["w"], hidden["b"],
+                                 head["w"].T, head["b"])
+    y = jnp.swapaxes(yt[..., :hw], 1, 2)
+    if cfg.softplus:
+        y = jnp.concatenate(
+            [jax.nn.softplus(y[..., :1]), y[..., 1:]], axis=-1)
+    return y

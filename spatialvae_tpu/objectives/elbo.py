@@ -59,6 +59,7 @@ class ElboConfig:
     vanilla: bool = False
     use_fold: bool = True
     fused: bool = False                    # Pallas fused decoder tail (TPU)
+    int8: bool = False                     # experimental int8-MXU decoder
     fit_noise_interleaved: bool = True
 
 
@@ -146,7 +147,15 @@ def elbo_minibatch(
                 can_fuse_decoder,
                 fused_spatial_generator,
             )
-            if can_fuse_decoder(p_cfg, coords.shape[0]):
+            if ecfg.int8:
+                from spatialvae_tpu.kernels.fused_decoder_int8 import (
+                    can_fuse_int8,
+                    fused_spatial_generator_int8,
+                )
+            if ecfg.int8 and can_fuse_int8(p_cfg, coords.shape[0]):
+                y_hat = fused_spatial_generator_int8(p_params, p_cfg, coords,
+                                                     theta, dx, z)
+            elif can_fuse_decoder(p_cfg, coords.shape[0]):
                 y_hat = fused_spatial_generator(p_params, p_cfg, coords,
                                                 theta, dx, z)
             else:
