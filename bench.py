@@ -101,8 +101,9 @@ def main():
         print(f"# XLA path: {xla:.0f} img/s", file=sys.stderr)
     images_per_sec = run_bench(batch, fused=fused, int8=int8)
 
+    mode = "int8" if int8 else "bf16"
     result = {
-        "metric": "train images/sec/chip (galaxy_zoo 64px z=20, bf16)",
+        "metric": f"train images/sec/chip (galaxy_zoo 64px z=20, {mode})",
         "value": round(images_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / 50_000.0, 4),

@@ -68,7 +68,8 @@ def _fwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, bht_ref,
 
     acc = jax.lax.dot_general(                 # int8 x int8 -> int32 MXU
         a0q, w1q_ref[:, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
     scale = sw_ref[0, 0] * (1.0 / 127.0)
     h1 = acc.astype(jnp.float32) * scale + b1_ref[0:1, :]
     a1 = jnp.tanh(h1)
@@ -117,12 +118,14 @@ def _bwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, wht_ref, a1_ref, y_ref,
 
     dw1 = jax.lax.dot_general(                 # a0^T . dh1 (int8 MXU)
         a0q, dh1q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT
     ).astype(jnp.float32) * (sg * (1.0 / 127.0))
     db1 = jnp.sum(dh1, axis=0, keepdims=True)
     da0 = jax.lax.dot_general(                 # dh1 . W1^T (int8 MXU)
         dh1q, w1q_ref[:, :], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT
     ).astype(jnp.float32) * (sg * sw_ref[0, 0])
 
     dh0 = da0 * (1.0 - a0 * a0)
