@@ -96,7 +96,8 @@ def _fwd_kernel(x_ref, f_ref, wh_ref, bh_ref, wht_ref, bht_ref,
     n_hidden = wh_ref.shape[0]
     for l in range(n_hidden):
         h = jnp.dot(a.astype(wh_ref.dtype), wh_ref[l],
-                    preferred_element_type=jnp.float32) + bh_ref[l:l + 1, :]
+                    preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) + bh_ref[l:l + 1, :]
         if resid:
             h = h + a
         a = jnp.tanh(h)
@@ -105,7 +106,8 @@ def _fwd_kernel(x_ref, f_ref, wh_ref, bh_ref, wht_ref, bht_ref,
     a1c = a.astype(wht_ref.dtype)
     z2t = jax.lax.dot_general(
         wht_ref[:, :], a1c, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     z2t = z2t + bht_ref[:, 0:1].astype(jnp.float32)
     y_ref[0] = jax.nn.sigmoid(z2t)
 
@@ -190,12 +192,14 @@ def _bwd_kernel(x_ref, f_ref, wh_ref, wht_ref, acts_ref, y_ref, g_ref,
     a_lastc = a_last.astype(wht_ref.dtype)
     dwht = jax.lax.dot_general(
         dz2c, a_lastc, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     dbht = jnp.sum(dz2t, axis=1, keepdims=True)            # (No, 1)
     # da (Pt, H) = dz2t (No, Pt)^T . wht (No, H) — K = n_out, tiny
     da = jax.lax.dot_general(
         dz2c, wht_ref[:, :], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
 
     first_step = jnp.logical_and(i == 0, j == 0)
     dwh_acc = []
@@ -208,11 +212,13 @@ def _bwd_kernel(x_ref, f_ref, wh_ref, wht_ref, acts_ref, y_ref, g_ref,
         a_inc = a_in.astype(wh_ref.dtype)
         dwl = jax.lax.dot_general(             # a_in^T . dh -> (H, H)
             a_inc, dhc, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
         dbl = jnp.sum(dh, axis=0, keepdims=True)
         da = jax.lax.dot_general(              # dh . W_l^T -> (Pt, H)
             dhc, wh_ref[l], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
         if resid:
             da = da + dh
         dwh_acc.append((l, dwl))

@@ -77,7 +77,8 @@ def _fwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, bht_ref,
     a1c = a1.astype(wht_ref.dtype)
     z2t = jax.lax.dot_general(
         wht_ref[:, :], a1c, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     z2t = z2t + bht_ref[:, 0:1].astype(jnp.float32)
     y_ref[0] = jax.nn.sigmoid(z2t)
     a1_ref[0] = a1.astype(a1_ref.dtype)
@@ -106,11 +107,13 @@ def _bwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, wht_ref, a1_ref, y_ref,
     a1c = a1.astype(wht_ref.dtype)
     dwht = jax.lax.dot_general(
         dz2c, a1c, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     dbht = jnp.sum(dz2t, axis=1, keepdims=True)
     da1 = jax.lax.dot_general(
         dz2c, wht_ref[:, :], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
 
     dh1 = da1 * (1.0 - a1 * a1)                # (Pt, H) f32, unbounded
     sg = jnp.max(jnp.abs(dh1)) * (1.0 / 127.0) + 1e-30
