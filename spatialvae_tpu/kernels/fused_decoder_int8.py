@@ -81,9 +81,7 @@ def _fwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, bht_ref,
         precision=jax.lax.Precision.DEFAULT)
     z2t = z2t + bht_ref[:, 0:1].astype(jnp.float32)
     y_ref[0] = jax.nn.sigmoid(z2t)
-    # int8 residual: a1 = tanh(h1) lives in [-1, 1] (fixed scale 127) —
-    # halves the dominant residual HBM traffic vs bf16
-    a1_ref[0] = jnp.round(a1 * 127.0).astype(jnp.int8)
+    a1_ref[0] = a1.astype(a1_ref.dtype)
 
 
 def _bwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, wht_ref, a1_ref, y_ref,
@@ -100,7 +98,7 @@ def _bwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, wht_ref, a1_ref, y_ref,
     h0 = x0 * w0r + x1 * w1r + cr
     a0 = jnp.tanh(h0)
     a0q = jnp.round(a0 * 127.0).astype(jnp.int8)
-    a1 = a1_ref[0].astype(jnp.float32) * (1.0 / 127.0)
+    a1 = a1_ref[0].astype(jnp.float32)
 
     s = y_ref[0]
     dz2t = g_ref[0] * s * (1.0 - s)
@@ -193,7 +191,7 @@ def _fwd_pallas(fold, coords, w1q, sw, b1, wht, bht):
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_out, hw), jnp.float32),
-            jax.ShapeDtypeStruct((b, hw, h), jnp.int8),
+            jax.ShapeDtypeStruct((b, hw, h), jnp.bfloat16),
         ),
     )(coords, fold, w1q, sw, b1, wht, bht)
 
