@@ -23,8 +23,6 @@ configs fall back to the bf16 fused kernel or XLA.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

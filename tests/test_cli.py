@@ -181,3 +181,33 @@ def test_checkpoint_roundtrip(workdir):
     assert cfg2 == cfg
     np.testing.assert_array_equal(np.asarray(params["coord"]["w"]),
                                   p2["coord"]["w"])
+
+
+def test_mnist_cli_galaxy_dataset(workdir, capsys):
+    """--dataset galaxy: channel-mean of RGB npy stacks
+    (train_mnist.py:295-300)."""
+    from spatialvae_tpu.cli.train_mnist import main
+
+    rng = np.random.RandomState(9)
+    d = workdir / "data" / "galaxy_zoo"
+    d.mkdir(parents=True)
+    np.save(d / "galaxy_zoo_train.npy",
+            (rng.rand(32, 8, 8, 3) * 255).astype(np.uint8))
+    np.save(d / "galaxy_zoo_test.npy",
+            (rng.rand(16, 8, 8, 3) * 255).astype(np.uint8))
+    main(["--dataset", "galaxy", "--num_epochs", "1", "--minibatch_size",
+          "16", "--save_prefix", "gx", "--p_hidden_dim", "8",
+          "--q_hidden_dim", "8"])
+    models = (workdir / "outputs_gx" / "models.txt").read_text()
+    assert "in_features=64" in models        # mono: 8*8 pixels
+
+
+def test_profile_dir_writes_trace(workdir, capsys):
+    from spatialvae_tpu.cli.train_mnist import main
+
+    _mk_mnist(workdir)
+    main(["--dataset", "mnist-rotated", "--num_epochs", "2",
+          "--minibatch_size", "48", "--save_prefix", "pr",
+          "--p_hidden_dim", "8", "--q_hidden_dim", "8",
+          "--profile-dir", str(workdir / "trace")])
+    assert (workdir / "trace").exists()

@@ -95,3 +95,26 @@ def test_entry_compiles():
     fn, args = ge.entry()
     loss, aux = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("mesh_cfg", [MeshConfig(data=2, model=4)])
+def test_wide_model_axis_matches_single_chip(mesh_cfg):
+    """Heavier tensor parallelism (model=4) still matches single-chip."""
+    from spatialvae_tpu.train.trainer import TrainState
+
+    t, y, key = _small_trainer()
+    z = jnp.asarray(1.0, jnp.float32)
+    state1, m1 = t._train_step(t.state, y, None, key, z)
+
+    mesh = create_mesh(mesh_cfg)
+    set_activation_sharding(mesh)
+    try:
+        params = shard_params(t.state.params, mesh)
+        opt_state = jax.jit(t.optimizer.init)(params)
+        ys = jax.device_put(y, batch_sharding(mesh))
+        state8, m8 = t._train_step(TrainState(params, opt_state), ys, None,
+                                   key, z)
+    finally:
+        set_activation_sharding(None)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m8), rtol=1e-4,
+                               atol=1e-5)
