@@ -226,7 +226,8 @@ def run(args):
                           theta_mean_penalty=False,  # train_galaxy.py:99
                           likelihood="bernoulli", channels=channels,
                           vanilla=args.vanilla,
-                          fused=_use_fused(args) and mesh is None,
+                          fused=_use_fused(args) and (mesh is None
+                                 or mesh.shape.get("model", 1) == 1),
                           int8=args.int8_decoder)
         tcfg = TrainConfig(minibatch_size=args.minibatch_size,
                            learning_rate=args.learning_rate,

@@ -203,7 +203,8 @@ def run(args):
                           theta_prior=args.theta_prior,
                           theta_mean_penalty=True,   # train_mnist.py:63
                           likelihood="bernoulli", vanilla=args.vanilla,
-                          fused=_use_fused(args) and mesh is None,
+                          fused=_use_fused(args) and (mesh is None
+                                 or mesh.shape.get("model", 1) == 1),
                           int8=args.int8_decoder)
         tcfg = TrainConfig(minibatch_size=args.minibatch_size,
                            learning_rate=args.learning_rate,

@@ -238,7 +238,8 @@ def run(args):
                           theta_prior=args.theta_prior,
                           theta_mean_penalty=False,  # train_particles.py:86
                           likelihood=likelihood, vanilla=args.vanilla,
-                          fused=_use_fused(args) and mesh is None,
+                          fused=_use_fused(args) and (mesh is None
+                                 or mesh.shape.get("model", 1) == 1),
                           int8=args.int8_decoder)
         tcfg = TrainConfig(minibatch_size=args.minibatch_size,
                            learning_rate=args.learning_rate,

@@ -1,0 +1,64 @@
+"""shard_map data-parallel training step.
+
+GSPMD cannot partition a ``pallas_call``, so under the default jit path the
+fused decoder kernel is disabled on multi-chip meshes.  This module provides
+the alternative: an explicitly-SPMD step via ``jax.shard_map`` where each
+device runs the full (fused-kernel) step on its batch shard and gradients
+are ``pmean``-ed over the 'data' axis — the classic DP recipe, with the
+collective riding ICI.
+
+Scope: pure data parallelism (mesh model axis = 1); tensor-parallel runs use
+the GSPMD path with the XLA decoder.  Per-device RNG is decorrelated by
+folding the device index into the step key.  Requires the global batch to
+divide the data-axis size.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+import optax
+
+
+def make_spmd_step(trainer, mesh):
+    """Un-jitted shard_map step for composition inside the epoch scan.
+
+    train_step(state, y, ctf, key, z_scale) -> (state, metrics); the global
+    batch must divide the 'data' axis size."""
+    assert mesh.shape.get("model", 1) == 1, \
+        "spmd step is DP-only; use the GSPMD path for model parallelism"
+
+    grad_fn = jax.value_and_grad(trainer._loss, has_aux=True)
+    optimizer = trainer.optimizer
+
+    def per_device(state, y, ctf, key, z_scale):
+        idx = jax.lax.axis_index("data")
+        key = jax.random.fold_in(key, idx)     # decorrelate shard noise
+        (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale)
+        grads = jax.lax.pmean(grads, "data")   # global-batch gradient
+        aux = jax.lax.pmean(aux, "data")       # equal shards -> exact mean
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return type(state)(params, opt_state), aux
+
+    def spec(state_like):
+        return jax.tree_util.tree_map(lambda _: P(), state_like)
+
+    def step(state, y, ctf, key, z_scale):
+        in_specs = (spec(state), P("data"),
+                    P("data") if ctf is not None else None,
+                    P(), P())
+        out_specs = (spec(state), P())
+        fn = jax.shard_map(per_device, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return fn(state, y, ctf, key, z_scale)
+
+    return step
+
+
+def make_spmd_train_step(trainer, mesh):
+    """Jitted standalone variant of make_spmd_step."""
+    return jax.jit(make_spmd_step(trainer, mesh))

@@ -123,7 +123,8 @@ class Trainer:
         self._build_steps()
 
     # ------------------------------------------------------------------ loss
-    def _loss(self, params, y, ctf, key, z_scale):
+    def _loss(self, params, y, ctf, key, z_scale, ecfg=None):
+        ecfg = ecfg or self.ecfg
         cd = self._compute_dtype
         q_params = _cast_tree(params["q"], cd)
         p_params = _cast_tree(params["p"], cd)
@@ -146,7 +147,7 @@ class Trainer:
             y_inf = rotate_images_bicubic(imgs, offsets).reshape(y.shape)
 
         elbo, log_p, kl, _ = elbo_minibatch(
-            q_params, p_params, self.q_cfg, self.p_cfg, self.ecfg,
+            q_params, p_params, self.q_cfg, self.p_cfg, ecfg,
             coords, y, key,
             y_inf=y_inf, offsets=offsets, z_scale=z_scale,
             ctf=None if ctf is None else ctf.astype(cd),
@@ -163,17 +164,36 @@ class Trainer:
     def _build_steps(self):
         grad_fn = jax.value_and_grad(self._loss, has_aux=True)
 
-        def train_step(state, y, ctf, key, z_scale):
-            (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale)
-            # fused_adam upcasts mixed-precision grads inside its single
-            # elementwise pass — no materialised f32 gradient copy
-            updates, opt_state = self.optimizer.update(
-                grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state), aux
+        # DP meshes run the explicitly-SPMD shard_map step so the fused
+        # Pallas decoder works multi-chip (GSPMD can't partition a
+        # pallas_call); model-parallel meshes use the GSPMD path.
+        self._spmd = (self.mesh is not None
+                      and self.mesh.shape.get("model", 1) == 1
+                      and self.ecfg.fused)
+        if self._spmd:
+            from spatialvae_tpu.parallel.spmd import make_spmd_step
+
+            train_step = make_spmd_step(self, self.mesh)
+        else:
+            def train_step(state, y, ctf, key, z_scale):
+                (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale)
+                # fused_adam upcasts mixed-precision grads inside its single
+                # elementwise pass — no materialised f32 gradient copy
+                updates, opt_state = self.optimizer.update(
+                    grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state), aux
+
+        # evaluation and display run through plain jit (GSPMD under a mesh),
+        # where a pallas_call cannot be partitioned — use the XLA decoder
+        import dataclasses
+
+        self._nonstep_ecfg = (dataclasses.replace(self.ecfg, fused=False)
+                              if self.mesh is not None else self.ecfg)
 
         def eval_step(params, y, ctf, key, z_scale):
-            _, aux = self._loss(params, y, ctf, key, z_scale)
+            _, aux = self._loss(params, y, ctf, key, z_scale,
+                                ecfg=self._nonstep_ecfg)
             return aux
 
         def train_epoch_scan(state, data, ctf_data, idx, key, z_scale):
@@ -266,7 +286,17 @@ class Trainer:
                 state, metrics = self._train_epoch_scan(
                     state, dataset.y, dataset.ctf, full_idx, step_key,
                     z_scale)
-            if tail:
+            if tail and self._spmd \
+                    and tail % self.mesh.shape["data"] != 0:
+                # shard_map needs the batch to divide the data axis; the
+                # per-epoch reshuffle still cycles all images through
+                if not getattr(self, "_tail_warned", False):
+                    print(f"# spmd: dropping trailing partial batch of "
+                          f"{tail} images each epoch (not divisible by "
+                          f"data={self.mesh.shape['data']})",
+                          file=sys.stderr)
+                    self._tail_warned = True
+            elif tail:
                 k_tail = jax.random.fold_in(step_key, num_full)
                 y = dataset.y[tail_idx]
                 ctf = None if dataset.ctf is None else dataset.ctf[tail_idx]
@@ -333,7 +363,8 @@ class Trainer:
         key = key if key is not None else jax.random.fold_in(self.base_key, 7)
         _, _, _, y_hat = elbo_minibatch(
             self.state.params["q"], self.state.params["p"], self.q_cfg,
-            self.p_cfg, self.ecfg, self.coords, y, key, z_scale=z_scale,
+            self.p_cfg, self._nonstep_ecfg, self.coords, y, key,
+            z_scale=z_scale,
             mask=None, image_shape=self.tcfg.image_shape)
         return y_hat
 
