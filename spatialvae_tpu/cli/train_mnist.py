@@ -86,6 +86,34 @@ def mnist_arguments(argv=None):
     return parser.parse_args(argv)
 
 
+def _load_mnist_idx(root: str):
+    """Read raw MNIST idx3-ubyte image files (optionally .gz) so the
+    'mnist' dataset works without torchvision (it is not in this image)."""
+    import gzip
+    import struct
+
+    def read_images(name):
+        for base in (root, os.path.join(root, "MNIST", "raw")):
+            for suffix, opener in (("", open), (".gz", gzip.open)):
+                path = os.path.join(base, name + suffix)
+                if os.path.exists(path):
+                    with opener(path, "rb") as f:
+                        magic, n, rows, cols = struct.unpack(
+                            ">IIII", f.read(16))
+                        if magic != 2051:
+                            return None
+                        data = np.frombuffer(f.read(n * rows * cols),
+                                             dtype=np.uint8)
+                        return data.reshape(n, rows, cols)
+        return None
+
+    train = read_images("train-images-idx3-ubyte")
+    test = read_images("t10k-images-idx3-ubyte")
+    if train is not None and test is not None:
+        return train, test
+    return None
+
+
 def load_mnist_arrays(dataset: str, data_root: str = "data"):
     if dataset == "mnist":
         print("# training on MNIST", file=sys.stderr)
@@ -103,9 +131,13 @@ def load_mnist_arrays(dataset: str, data_root: str = "data"):
             if os.path.exists(npy):
                 return (np.load(npy),
                         np.load(f"{data_root}/mnist/images_test.npy"))
+            idx = _load_mnist_idx(f"{data_root}/mnist")
+            if idx is not None:
+                return idx
             raise RuntimeError(
                 f"MNIST download unavailable ({e}); place images_train.npy/"
-                f"images_test.npy under {data_root}/mnist/") from e
+                f"images_test.npy or the raw idx files under "
+                f"{data_root}/mnist/") from e
     if dataset == "mnist-rotated":
         print("# training on rotated MNIST", file=sys.stderr)
         return (np.load(f"{data_root}/mnist_rotated/images_train.npy"),

@@ -211,3 +211,30 @@ def test_profile_dir_writes_trace(workdir, capsys):
           "--p_hidden_dim", "8", "--q_hidden_dim", "8",
           "--profile-dir", str(workdir / "trace")])
     assert (workdir / "trace").exists()
+
+
+def test_mnist_idx_fallback(workdir):
+    """'mnist' dataset without torchvision: raw idx3-ubyte files are read
+    directly (gz and plain)."""
+    import gzip
+    import struct
+
+    from spatialvae_tpu.cli.train_mnist import load_mnist_arrays
+
+    d = workdir / "data" / "mnist"
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+
+    def write_idx(path, n, gz=False):
+        imgs = rng.randint(0, 255, size=(n, 6, 6), dtype=np.uint8)
+        payload = struct.pack(">IIII", 2051, n, 6, 6) + imgs.tobytes()
+        opener = gzip.open if gz else open
+        with opener(path, "wb") as f:
+            f.write(payload)
+        return imgs
+
+    tr = write_idx(d / "train-images-idx3-ubyte", 10)
+    te = write_idx(d / "t10k-images-idx3-ubyte.gz", 4, gz=True)
+    train, test = load_mnist_arrays("mnist")
+    np.testing.assert_array_equal(train, tr)
+    np.testing.assert_array_equal(test, te)
