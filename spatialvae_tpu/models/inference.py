@@ -35,3 +35,23 @@ def inference_apply(params, cfg: InferenceConfig, y: jax.Array
     z = mlp_apply(params["layers"], y, act, resid_hidden=cfg.resid)
     ld = cfg.latent_dim
     return z[:, :ld], z[:, ld:]
+
+
+def inference_apply_q8(params, cfg: InferenceConfig, y: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """int8-MXU variant (experimental --int8-decoder mode): the big hidden
+    GEMMs run quantized, the small output head stays full precision."""
+    from spatialvae_tpu.nn.layers import linear_apply
+    from spatialvae_tpu.nn.qlinear import qlinear
+
+    act = resolve_activation(cfg.activation)
+    layers = params["layers"]
+    x = y
+    for i, p in enumerate(layers[:-1]):
+        h = qlinear(x, p["w"], p["b"])
+        if cfg.resid and i > 0:
+            h = h + x
+        x = act(h)
+    z = linear_apply(layers[-1], x)
+    ld = cfg.latent_dim
+    return z[:, :ld], z[:, ld:]

@@ -98,7 +98,14 @@ def elbo_minibatch(
         y_inf = y
 
     # ---- inference + reparameterised sample -------------------------------
-    z_mu, z_logstd = inference_apply(q_params, q_cfg, y_inf.reshape(b, -1))
+    if ecfg.int8 and ecfg.fused:
+        from spatialvae_tpu.models.inference import inference_apply_q8
+
+        z_mu, z_logstd = inference_apply_q8(q_params, q_cfg,
+                                            y_inf.reshape(b, -1))
+    else:
+        z_mu, z_logstd = inference_apply(q_params, q_cfg,
+                                         y_inf.reshape(b, -1))
     z_std = jnp.exp(z_logstd)
     r = noise if noise is not None else jax.random.normal(
         key, z_mu.shape, dtype=z_mu.dtype)

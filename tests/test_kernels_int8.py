@@ -70,3 +70,50 @@ def test_int8_gradients_close_to_f32():
         if denom > 1e-8:
             cos = float(a @ b / denom)
             assert cos > 0.99, cos
+
+
+def test_qlinear_matches_f32():
+    from spatialvae_tpu.nn.qlinear import qlinear
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    x = jax.random.uniform(k1, (32, 64))
+    w = 0.1 * jax.random.normal(k2, (64, 48))
+    b = 0.1 * jax.random.normal(k3, (48,))
+
+    out_q = qlinear(x, w, b)
+    out_f = x @ w + b
+    err = np.abs(np.asarray(out_q) - np.asarray(out_f))
+    scale = np.abs(np.asarray(out_f)).max()
+    assert err.max() / scale < 2e-2
+
+    def loss_q(x, w, b):
+        return jnp.sum(jnp.sin(qlinear(x, w, b)))
+
+    def loss_f(x, w, b):
+        return jnp.sum(jnp.sin(x @ w + b))
+
+    gq = jax.grad(loss_q, argnums=(0, 1, 2))(x, w, b)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(gq, gf):
+        a = np.asarray(a).ravel()
+        c = np.asarray(c).ravel()
+        cos = a @ c / (np.linalg.norm(a) * np.linalg.norm(c))
+        assert cos > 0.995, cos
+
+
+def test_inference_apply_q8_close_to_f32():
+    from spatialvae_tpu.core.config import InferenceConfig
+    from spatialvae_tpu.models import inference_init
+    from spatialvae_tpu.models.inference import (
+        inference_apply,
+        inference_apply_q8,
+    )
+
+    cfg = InferenceConfig(n=64, latent_dim=5, hidden_dim=32, num_layers=2)
+    params = inference_init(jax.random.PRNGKey(0), cfg)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (8, 64))
+    mu_q, ls_q = inference_apply_q8(params, cfg, y)
+    mu_f, ls_f = inference_apply(params, cfg, y)
+    np.testing.assert_allclose(np.asarray(mu_q), np.asarray(mu_f), atol=3e-2)
+    np.testing.assert_allclose(np.asarray(ls_q), np.asarray(ls_f), atol=3e-2)
