@@ -16,7 +16,6 @@ divide the data-axis size.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 import optax
