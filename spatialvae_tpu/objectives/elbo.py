@@ -98,14 +98,11 @@ def elbo_minibatch(
         y_inf = y
 
     # ---- inference + reparameterised sample -------------------------------
-    if ecfg.int8 and ecfg.fused:
-        from spatialvae_tpu.models.inference import inference_apply_q8
-
-        z_mu, z_logstd = inference_apply_q8(q_params, q_cfg,
-                                            y_inf.reshape(b, -1))
-    else:
-        z_mu, z_logstd = inference_apply(q_params, q_cfg,
-                                         y_inf.reshape(b, -1))
+    # note: an int8 encoder (models.inference.inference_apply_q8) was
+    # measured SLOWER than bf16 here — the XLA-side quantisation passes over
+    # the 61M-param first layer outweigh the MXU savings — so the encoder
+    # stays bf16 even in int8 mode
+    z_mu, z_logstd = inference_apply(q_params, q_cfg, y_inf.reshape(b, -1))
     z_std = jnp.exp(z_logstd)
     r = noise if noise is not None else jax.random.normal(
         key, z_mu.shape, dtype=z_mu.dtype)
