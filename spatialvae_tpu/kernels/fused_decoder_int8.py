@@ -37,8 +37,10 @@ def can_fuse_int8(cfg: SpatialGeneratorConfig, hw: int) -> bool:
 
 
 def _pick_tile(hw: int, backward: bool) -> int:
-    budget = 1024 if not backward else 1024
-    for t in (1024, 512, 256):
+    # larger forward tiles amortize per-grid-step overheads (the int8
+    # forward's intermediates are small enough for a 2048-pixel tile)
+    budget = 2048 if not backward else 1024
+    for t in (2048, 1024, 512, 256):
         if t <= budget and hw % t == 0:
             return t
     return hw
