@@ -39,7 +39,7 @@ def can_fuse_int8(cfg: SpatialGeneratorConfig, hw: int) -> bool:
 def _pick_tile(hw: int, backward: bool) -> int:
     # larger forward tiles amortize per-grid-step overheads (the int8
     # forward's intermediates are small enough for a 2048-pixel tile)
-    budget = 2048 if not backward else 1024
+    budget = 2048
     for t in (2048, 1024, 512, 256):
         if t <= budget and hw % t == 0:
             return t
