@@ -59,7 +59,7 @@ def _pick_tile(hw: int, n_hidden: int, backward: bool, dtype) -> int:
     """Pixel-tile size bounded by VMEM (~16 MB scoped): the forward keeps
     ~(3 + n_hidden) (Pt, H) buffers live, the backward ~(6 + n_hidden);
     float32 weights/residuals double every buffer vs bfloat16."""
-    budget = 1024 if n_hidden <= 1 else 512
+    budget = 2048 if n_hidden <= 1 else 512
     if backward and n_hidden > 2:
         budget = 256
     if dtype == jnp.float32:
