@@ -238,3 +238,36 @@ def test_mnist_idx_fallback(workdir):
     train, test = load_mnist_arrays("mnist")
     np.testing.assert_array_equal(train, tr)
     np.testing.assert_array_equal(test, te)
+
+
+def test_mnist_cli_no_rotate_no_translate(workdir, capsys):
+    """--no_rotate/--no_translate shrink inf_dim and skip pose slots
+    (train_mnist.py:361-369)."""
+    from spatialvae_tpu.cli.train_mnist import main
+
+    _mk_mnist(workdir)
+    main(["--dataset", "mnist-rotated", "--num_epochs", "1",
+          "--minibatch_size", "32", "--save_prefix", "nr",
+          "--no_rotate", "--no_translate",
+          "--p_hidden_dim", "8", "--q_hidden_dim", "8", "-z", "4"])
+    models = (workdir / "outputs_nr" / "models.txt").read_text()
+    # inf_dim == z_dim: q output is 2*4
+    assert "out_features=8, bias=True)\n  )\n)" in models
+
+
+def test_particles_cli_expand_bilinear_resid(workdir, capsys):
+    """--expand-coords/--bilinear/--resid exercise the generic (non-folded)
+    decoder end-to-end (models.py:65-75)."""
+    from spatialvae_tpu.cli.train_particles import main
+
+    rng = np.random.RandomState(5)
+    np.save(workdir / "tr.npy", rng.randn(32, 8, 8).astype(np.float32))
+    np.save(workdir / "te.npy", rng.randn(16, 8, 8).astype(np.float32))
+    main(["tr.npy", "te.npy", "--num-epochs", "1", "--minibatch-size", "16",
+          "--p-hidden-dim", "12", "--q-hidden-dim", "12",
+          "--expand-coords", "--bilinear", "--resid", "--softplus"])
+    out = capsys.readouterr().out
+    rows = [ln for ln in out.splitlines() if "\t" in ln]
+    assert rows[1].split("\t")[1] == "train"
+    vals = [float(v) for v in rows[1].split("\t")[2:]]
+    assert all(np.isfinite(vals))
