@@ -271,3 +271,17 @@ def test_particles_cli_expand_bilinear_resid(workdir, capsys):
     assert rows[1].split("\t")[1] == "train"
     vals = [float(v) for v in rows[1].split("\t")[2:]]
     assert all(np.isfinite(vals))
+
+
+def test_galaxy_cli_vanilla(workdir, capsys):
+    from spatialvae_tpu.cli.train_galaxy import main
+
+    rng = np.random.RandomState(6)
+    np.save(workdir / "gt.npy", (rng.rand(32, 8, 8, 3) * 255).astype(np.uint8))
+    np.save(workdir / "gv.npy", (rng.rand(16, 8, 8, 3) * 255).astype(np.uint8))
+    main(["gt.npy", "gv.npy", "--num_epochs", "1", "--minibatch_size", "16",
+          "--p_hidden_dim", "8", "--q_hidden_dim", "8", "--vanilla",
+          "--save_prefix", "vg"])
+    models = (workdir / "outputs_vg" / "models.txt").read_text()
+    # vanilla n_out = channels*rows*cols = 192
+    assert "out_features=192" in models
