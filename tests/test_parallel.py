@@ -89,6 +89,31 @@ def test_dryrun_multichip_runs():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_driver_convention():
+    """The driver imports the module and calls dryrun_multichip(n) directly
+    in a bare process (no conftest CPU bootstrap); the function must
+    self-bootstrap the virtual CPU mesh itself (round-1 MULTICHIP gate)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    # undo what tests/conftest.py injected into this process's env so the
+    # child starts the way the driver's interpreter does
+    env.pop("JAX_PLATFORMS", None)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "dryrun_multichip(8)" in out.stdout and "ok" in out.stdout
+
+
 def test_entry_compiles():
     import __graft_entry__ as ge
 
