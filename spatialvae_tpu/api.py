@@ -31,7 +31,7 @@ from spatialvae_tpu.models import (
     spatial_generator_apply,
     vanilla_generator_apply,
 )
-from spatialvae_tpu.train.checkpoint import load_model
+from spatialvae_tpu.train.checkpoint import load_model_meta
 from spatialvae_tpu.transforms.coords import coord_grid
 
 
@@ -43,6 +43,7 @@ class SpatialVae:
     p_cfg: object
     coords: jnp.ndarray
     image_shape: Tuple[int, int]
+    ecfg: object = None          # ElboConfig persisted at training time
 
     @property
     def vanilla(self) -> bool:
@@ -51,20 +52,32 @@ class SpatialVae:
     @property
     def pose_dims(self) -> int:
         """Latent slots used by rotation (1) + translation (2)."""
+        if self.ecfg is not None and not self.vanilla:
+            return int(self.ecfg.rotate) + 2 * int(self.ecfg.translate)
         z = getattr(self.p_cfg, "latent_dim", 0)
         return self.q_cfg.latent_dim - z
 
     @staticmethod
     def load(generator_path: str, inference_path: str,
-             image_shape: Tuple[int, int]) -> "SpatialVae":
-        p_params, p_cfg, kind = load_model(generator_path)
+             image_shape: Tuple[int, int] | None = None) -> "SpatialVae":
+        """image_shape may be omitted when the checkpoint persisted it
+        (checkpoints written from round 2 on carry the training semantics:
+        ELBO/pose config + image shape)."""
+        p_params, p_cfg, kind, meta = load_model_meta(generator_path)
         assert kind == "generator", generator_path
-        q_params, q_cfg, kind = load_model(inference_path)
+        q_params, q_cfg, kind, _ = load_model_meta(inference_path)
         assert kind == "inference", inference_path
+        if image_shape is None:
+            image_shape = meta.get("image_shape")
+            if image_shape is None:
+                raise ValueError(
+                    f"{generator_path} predates image-shape persistence; "
+                    "pass image_shape=(n, m) explicitly")
         n, m = image_shape
         return SpatialVae(q_params=q_params, p_params=p_params, q_cfg=q_cfg,
                           p_cfg=p_cfg, coords=jnp.asarray(coord_grid(n, m)),
-                          image_shape=image_shape)
+                          image_shape=tuple(image_shape),
+                          ecfg=meta.get("elbo"))
 
     # ------------------------------------------------------------- inference
     def encode(self, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -84,12 +97,24 @@ class SpatialVae:
         return self.decode(z)
 
     def reconstruct(self, y: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-        """Posterior-sample reconstruction including the inferred pose."""
+        """Posterior-sample reconstruction including the inferred pose.
+
+        Uses the ELBO/pose config persisted in the checkpoint (dx_scale,
+        theta_prior, rotate/translate, likelihood, channels, softplus), so a
+        model trained with e.g. --dx-scale 0.5 reconstructs its translations
+        at the trained scale.  Falls back to a latent-layout heuristic for
+        pre-r2 checkpoints."""
+        import dataclasses
+
         from spatialvae_tpu.objectives import ElboConfig, elbo_minibatch
 
-        pose = self.pose_dims
-        ecfg = ElboConfig(rotate=pose >= 1, translate=pose >= 2,
-                          vanilla=self.vanilla)
+        if self.ecfg is not None:
+            # serving always decodes through the XLA path
+            ecfg = dataclasses.replace(self.ecfg, fused=False, int8=False)
+        else:
+            pose = self.pose_dims
+            ecfg = ElboConfig(rotate=pose >= 1, translate=pose >= 2,
+                              vanilla=self.vanilla)
         _, _, _, y_hat = elbo_minibatch(
             self.q_params, self.p_params, self.q_cfg, self.p_cfg, ecfg,
             self.coords, y, key, image_shape=self.image_shape)

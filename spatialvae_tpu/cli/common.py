@@ -65,6 +65,8 @@ def _use_fused(args) -> bool:
     """Enable the fused Pallas decoder on TPU unless --no-fused."""
     if getattr(args, "no_fused", False):
         return False
+    if getattr(args, "device", -2) == -1:
+        return False                  # -d -1 forces CPU: no Pallas there
     try:
         return jax.default_backend() == "tpu"
     except Exception:

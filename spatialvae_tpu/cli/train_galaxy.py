@@ -284,7 +284,8 @@ def run(args):
                             outputs.trained_dir,
                             trainer.state.params["p"], p_cfg,
                             trainer.state.params["q"], q_cfg,
-                            async_write=False)
+                            async_write=False, elbo=trainer.ecfg,
+                            image_shape=trainer.tcfg.image_shape)
         basic_run_plot(train_results, val_results,
                        output_dir=outputs.images_dir)
         outputs.write_results(train_lines, val_lines)

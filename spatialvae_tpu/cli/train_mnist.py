@@ -126,7 +126,7 @@ def load_mnist_arrays(dataset: str, data_root: str = "data"):
             train = np.stack([np.array(im, copy=False) for im, _ in tr])
             test = np.stack([np.array(im, copy=False) for im, _ in te])
             return train, test
-        except Exception as e:  # torchvision absent / offline env
+        except Exception as e:  # torchvision absent (this image) / offline
             npy = f"{data_root}/mnist/images_train.npy"
             if os.path.exists(npy):
                 return (np.load(npy),
@@ -134,6 +134,13 @@ def load_mnist_arrays(dataset: str, data_root: str = "data"):
             idx = _load_mnist_idx(f"{data_root}/mnist")
             if idx is not None:
                 return idx
+            # download the raw idx files ourselves — the reference fetches
+            # MNIST on first use (train_mnist.py:278-288)
+            from spatialvae_tpu.data.download import download_mnist_idx
+            if download_mnist_idx(f"{data_root}/mnist"):
+                idx = _load_mnist_idx(f"{data_root}/mnist")
+                if idx is not None:
+                    return idx
             raise RuntimeError(
                 f"MNIST download unavailable ({e}); place images_train.npy/"
                 f"images_test.npy or the raw idx files under "
@@ -290,7 +297,8 @@ def run(args):
                             outputs.trained_dir,
                             trainer.state.params["p"], p_cfg,
                             trainer.state.params["q"], q_cfg,
-                            async_write=False)
+                            async_write=False, elbo=trainer.ecfg,
+                            image_shape=trainer.tcfg.image_shape)
         basic_run_plot(train_results, val_results,
                        output_dir=outputs.images_dir)
         outputs.write_results(train_lines, val_lines)

@@ -278,7 +278,9 @@ def run(args):
             save_trained_models(args.save_prefix, epoch, digits,
                                 args.save_interval, None,
                                 trainer.state.params["p"], p_cfg,
-                                trainer.state.params["q"], q_cfg)
+                                trainer.state.params["q"], q_cfg,
+                                elbo=trainer.ecfg,
+                                image_shape=trainer.tcfg.image_shape)
             if args.profile_dir and epoch == 1:
                 jax.profiler.stop_trace()
 

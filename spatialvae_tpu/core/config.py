@@ -67,6 +67,11 @@ def config_to_dict(cfg) -> dict:
 def config_from_dict(d: dict):
     d = dict(d)
     name = d.pop("__class__")
+    if name == "ElboConfig":
+        # lazy import: objectives depends on core.config
+        from spatialvae_tpu.objectives import ElboConfig
+        known = {f.name for f in dataclasses.fields(ElboConfig)}
+        return ElboConfig(**{k: v for k, v in d.items() if k in known})
     cls = {
         "InferenceConfig": InferenceConfig,
         "SpatialGeneratorConfig": SpatialGeneratorConfig,

@@ -160,3 +160,52 @@ def download_dataset(data_dir: str, replace_download, replace_unzip_content,
         os.rename(src, final_dir)
 
     return final_dir, working
+
+
+# --- MNIST idx download (train_mnist.py --dataset mnist) --------------------
+
+# torchvision is not in this image; the reference downloads MNIST on first
+# use via torchvision.datasets.MNIST(download=True)
+# (/root/reference/train_mnist.py:278-288).  These are the same files from
+# the same mirrors torchvision uses.
+MNIST_MIRRORS = (
+    "https://ossci-datasets.s3.amazonaws.com/mnist/",
+    "http://yann.lecun.com/exdb/mnist/",
+)
+MNIST_IMAGE_FILES = ("train-images-idx3-ubyte.gz", "t10k-images-idx3-ubyte.gz")
+MNIST_LABEL_FILES = ("train-labels-idx1-ubyte.gz", "t10k-labels-idx1-ubyte.gz")
+
+
+def download_mnist_idx(dest_dir: str, mirrors=None) -> bool:
+    """Fetch the MNIST idx .gz files into ``dest_dir``.
+
+    Returns True when both image files are present afterwards.  Label files
+    are fetched best-effort for parity with torchvision's layout (the
+    trainer is unsupervised and never reads them).  ``mirrors`` (or the
+    SPATIALVAE_MNIST_MIRROR env var) overrides the mirror list — file:// URLs
+    work, which is how the offline test fixture drives this."""
+    env_mirror = os.environ.get("SPATIALVAE_MNIST_MIRROR")
+    if mirrors is None:
+        mirrors = (env_mirror,) if env_mirror else MNIST_MIRRORS
+    Path(dest_dir).mkdir(parents=True, exist_ok=True)
+
+    def fetch(fname: str) -> bool:
+        target = os.path.join(dest_dir, fname)
+        if os.path.exists(target):
+            return True
+        for base in mirrors:
+            url = base + fname if base.endswith("/") else f"{base}/{fname}"
+            try:
+                download_url(url, target)
+                return True
+            except Exception as e:
+                print(f"# mnist: download of {url} failed: {e}",
+                      file=sys.stderr)
+                if os.path.exists(target):
+                    os.remove(target)          # drop partial file
+        return False
+
+    ok = all([fetch(f) for f in MNIST_IMAGE_FILES])
+    for f in MNIST_LABEL_FILES:
+        fetch(f)
+    return ok

@@ -217,7 +217,9 @@ def elbo_minibatch(
         if mask is not None:
             per_elem = per_elem * mask[None, :]
         log_p = -0.5 * jnp.mean(jnp.sum(per_elem, axis=1))
-        y_hat = y_mu[..., None] if y_hat.shape[-1] == 1 else y_hat
+        # display/serving output is always the (CTF-corrected) predicted
+        # mean — for --fit-noise models too, not the raw (B, HW, 2) head
+        y_hat = y_mu.reshape(b, -1)[..., None]
 
     # ---- unit normal KL over translation + z ------------------------------
     z_kl = -z_logstd + 0.5 * z_std ** 2 + 0.5 * z_mu ** 2 - 0.5

@@ -21,20 +21,27 @@ from jax.sharding import PartitionSpec as P
 import optax
 
 
-def make_spmd_step(trainer, mesh):
+def make_spmd_step(trainer, mesh, *, fold_shard_key=None):
     """Un-jitted shard_map step for composition inside the epoch scan.
 
     train_step(state, y, ctf, key, z_scale) -> (state, metrics); the global
-    batch must divide the 'data' axis size."""
+    batch must divide the 'data' axis size.
+
+    fold_shard_key(key, shard_idx) -> key overrides the per-shard RNG
+    decorrelation (explicit test hook — tests that need all shards to share
+    a key pass ``lambda k, i: k`` instead of monkeypatching the global
+    jax.random.fold_in)."""
     assert mesh.shape.get("model", 1) == 1, \
         "spmd step is DP-only; use the GSPMD path for model parallelism"
 
+    fold = fold_shard_key if fold_shard_key is not None \
+        else jax.random.fold_in
     grad_fn = jax.value_and_grad(trainer._loss, has_aux=True)
     optimizer = trainer.optimizer
 
     def per_device(state, y, ctf, key, z_scale):
         idx = jax.lax.axis_index("data")
-        key = jax.random.fold_in(key, idx)     # decorrelate shard noise
+        key = fold(key, idx)                   # decorrelate shard noise
         (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale)
         grads = jax.lax.pmean(grads, "data")   # global-batch gradient
         aux = jax.lax.pmean(aux, "data")       # equal shards -> exact mean
@@ -58,6 +65,7 @@ def make_spmd_step(trainer, mesh):
     return step
 
 
-def make_spmd_train_step(trainer, mesh):
+def make_spmd_train_step(trainer, mesh, *, fold_shard_key=None):
     """Jitted standalone variant of make_spmd_step."""
-    return jax.jit(make_spmd_step(trainer, mesh))
+    return jax.jit(make_spmd_step(trainer, mesh,
+                                  fold_shard_key=fold_shard_key))

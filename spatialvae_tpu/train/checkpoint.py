@@ -50,13 +50,22 @@ def _to_numpy(tree):
 
 
 def save_model(path: str, kind: str, params, cfg,
-               async_write: bool = False) -> None:
+               async_write: bool = False, *, elbo=None,
+               image_shape=None) -> None:
+    """elbo/image_shape persist the full model semantics (ELBO/pose config:
+    dx_scale, theta_prior, rotate/translate, likelihood, channels, softplus)
+    so serving can reconstruct exactly what training trained — the arch
+    configs alone do not determine them."""
     payload = {
         "format": FORMAT,
         "kind": kind,                      # 'generator' | 'inference'
         "config": config_to_dict(cfg),
         "params": _to_numpy(params),
     }
+    if elbo is not None:
+        payload["elbo"] = config_to_dict(elbo)
+    if image_shape is not None:
+        payload["image_shape"] = tuple(int(v) for v in image_shape)
 
     def write():
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -76,11 +85,26 @@ def wait_for_checkpoints() -> None:
 
 def load_model(path: str):
     """Returns (params, config, kind)."""
+    params, cfg, kind, _ = load_model_meta(path)
+    return params, cfg, kind
+
+
+def load_model_meta(path: str):
+    """Returns (params, config, kind, meta).
+
+    meta = {'elbo': ElboConfig | None, 'image_shape': (n, m) | None} —
+    the persisted training semantics (absent in pre-r2 checkpoints)."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
     if payload.get("format") != FORMAT:
         raise ValueError(f"{path} is not a {FORMAT} checkpoint")
-    return payload["params"], config_from_dict(payload["config"]), payload["kind"]
+    elbo = payload.get("elbo")
+    meta = {
+        "elbo": None if elbo is None else config_from_dict(elbo),
+        "image_shape": payload.get("image_shape"),
+    }
+    return (payload["params"], config_from_dict(payload["config"]),
+            payload["kind"], meta)
 
 
 def checkpoint_paths(prefix: str, epoch: int, digits: int,
@@ -97,7 +121,8 @@ def checkpoint_paths(prefix: str, epoch: int, digits: int,
 def save_trained_models(prefix: Optional[str], epoch: int, digits: int,
                         save_interval: int, trained_dir: Optional[str],
                         p_params, p_cfg, q_params, q_cfg,
-                        async_write: bool = True) -> bool:
+                        async_write: bool = True, *, elbo=None,
+                        image_shape=None) -> bool:
     """Gate + save both networks (misc_tools.py:88-104 semantics).
 
     Writes happen on a background thread by default so the epoch loop never
@@ -105,6 +130,8 @@ def save_trained_models(prefix: Optional[str], epoch: int, digits: int,
     if prefix is None or (epoch + 1) % save_interval != 0:
         return False
     gen, inf = checkpoint_paths(prefix, epoch, digits, trained_dir)
-    save_model(gen, "generator", p_params, p_cfg, async_write=async_write)
-    save_model(inf, "inference", q_params, q_cfg, async_write=async_write)
+    save_model(gen, "generator", p_params, p_cfg, async_write=async_write,
+               elbo=elbo, image_shape=image_shape)
+    save_model(inf, "inference", q_params, q_cfg, async_write=async_write,
+               elbo=elbo, image_shape=image_shape)
     return True

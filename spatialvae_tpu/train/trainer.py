@@ -170,10 +170,41 @@ class Trainer:
         self._spmd = (self.mesh is not None
                       and self.mesh.shape.get("model", 1) == 1
                       and self.ecfg.fused)
+
+        # evaluation and display run through plain jit (GSPMD under a mesh),
+        # where a pallas_call cannot be partitioned — use the XLA decoder
+        import dataclasses
+        import functools
+
+        self._nonstep_ecfg = (dataclasses.replace(self.ecfg, fused=False)
+                              if self.mesh is not None else self.ecfg)
+
+        self._tail_step = None
         if self._spmd:
+            from jax.sharding import NamedSharding, PartitionSpec
             from spatialvae_tpu.parallel.spmd import make_spmd_step
 
             train_step = make_spmd_step(self, self.mesh)
+
+            # shard_map needs the batch to divide the data axis; a trailing
+            # partial batch that doesn't runs through this GSPMD-replicated
+            # plain step instead (XLA decoder), so every image still trains
+            # exactly once per epoch like the reference's DataLoader tail
+            tail_grad = jax.value_and_grad(
+                functools.partial(self._loss, ecfg=self._nonstep_ecfg),
+                has_aux=True)
+
+            def tail_step(state, y, ctf, key, z_scale):
+                (_, aux), grads = tail_grad(state.params, y, ctf, key,
+                                            z_scale)
+                updates, opt_state = self.optimizer.update(
+                    grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state), aux
+
+            self._tail_step = jax.jit(
+                tail_step,
+                out_shardings=NamedSharding(self.mesh, PartitionSpec()))
         else:
             def train_step(state, y, ctf, key, z_scale):
                 (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale)
@@ -183,13 +214,6 @@ class Trainer:
                     grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
                 return TrainState(params, opt_state), aux
-
-        # evaluation and display run through plain jit (GSPMD under a mesh),
-        # where a pallas_call cannot be partitioned — use the XLA decoder
-        import dataclasses
-
-        self._nonstep_ecfg = (dataclasses.replace(self.ecfg, fused=False)
-                              if self.mesh is not None else self.ecfg)
 
         def eval_step(params, y, ctf, key, z_scale):
             _, aux = self._loss(params, y, ctf, key, z_scale,
@@ -259,7 +283,14 @@ class Trainer:
         tail_metrics = None
         if getattr(dataset, "host_resident", False):
             # --no-preload: stream one minibatch per step from host RAM;
-            # async dispatch overlaps the next H2D copy with compute
+            # async dispatch overlaps the next H2D copy with compute.
+            # Steps already dispatch individually here, so the reference's
+            # per-minibatch progress line (train_mnist.py:166-168) is
+            # emitted for real — with a one-step lag so reading the metrics
+            # never blocks the step just dispatched.
+            stream = progress_stream or sys.stderr
+            live = StreamingMeans()
+            prev_aux = None
             perm_np = np.asarray(perm)
             rows = []
             for i in range(num_full):
@@ -271,6 +302,12 @@ class Trainer:
                 k = jax.random.fold_in(step_key, i)
                 state, aux = self._train_step(state, y, ctf, k, z_scale)
                 rows.append(aux)
+                if progress and prev_aux is not None:
+                    live.update(tcfg.minibatch_size,
+                                *[float(v) for v in np.asarray(prev_aux)])
+                    print(live.progress_line(epoch, tcfg.num_epochs, n),
+                          end="\r", file=stream)
+                prev_aux = aux
             if rows:
                 metrics = jnp.stack(rows)
             if tail:
@@ -288,14 +325,13 @@ class Trainer:
                     z_scale)
             if tail and self._spmd \
                     and tail % self.mesh.shape["data"] != 0:
-                # shard_map needs the batch to divide the data axis; the
-                # per-epoch reshuffle still cycles all images through
-                if not getattr(self, "_tail_warned", False):
-                    print(f"# spmd: dropping trailing partial batch of "
-                          f"{tail} images each epoch (not divisible by "
-                          f"data={self.mesh.shape['data']})",
-                          file=sys.stderr)
-                    self._tail_warned = True
+                # the shard_map step can't take this batch — train it
+                # through the replicated plain step instead of dropping it
+                k_tail = jax.random.fold_in(step_key, num_full)
+                y = dataset.y[tail_idx]
+                ctf = None if dataset.ctf is None else dataset.ctf[tail_idx]
+                state, tail_metrics = self._tail_step(state, y, ctf,
+                                                      k_tail, z_scale)
             elif tail:
                 k_tail = jax.random.fold_in(step_key, num_full)
                 y = dataset.y[tail_idx]
@@ -317,10 +353,12 @@ class Trainer:
         if tail_metrics is not None:
             acc.update(tail, *[float(v) for v in np.asarray(tail_metrics)])
         if progress:
+            # the epoch runs as one scan, so the summary line lands once,
+            # complete, and stays visible (the reference's per-minibatch \r
+            # line ends in the same state; train_mnist.py:166-168)
             stream = progress_stream or sys.stderr
             line = acc.progress_line(epoch, tcfg.num_epochs, n)
-            print(line, end="\r", file=stream)
-            print(" " * 80, end="\r", file=stream)
+            print(line, file=stream)
         # throughput observability (the north-star metric, SURVEY.md 5.1);
         # epoch 0 includes compile time, later epochs are steady-state
         dt = time.perf_counter() - t_start

@@ -69,3 +69,44 @@ def test_spatial_vae_dataset_urls():
     for url in SPATIAL_VAE_DATASETS.values():
         assert url.startswith(
             "http://bergerlab-downloads.csail.mit.edu/spatial-vae/")
+
+
+def test_mnist_auto_download_via_file_mirror(tmp_path, monkeypatch):
+    """--dataset mnist with no local data downloads the idx files (the
+    reference fetches MNIST on first use, train_mnist.py:278-288).  Driven
+    offline through a file:// mirror."""
+    import gzip
+    import struct
+
+    import numpy as np
+
+    from spatialvae_tpu.cli.train_mnist import load_mnist_arrays
+
+    mirror = tmp_path / "mirror"
+    mirror.mkdir()
+    rng = np.random.default_rng(0)
+
+    def write_idx(name, n):
+        data = rng.integers(0, 256, size=(n, 8, 8), dtype=np.uint8)
+        with gzip.open(mirror / name, "wb") as f:
+            f.write(struct.pack(">IIII", 2051, n, 8, 8))
+            f.write(data.tobytes())
+        return data
+
+    train = write_idx("train-images-idx3-ubyte.gz", 6)
+    test = write_idx("t10k-images-idx3-ubyte.gz", 3)
+    # labels are best-effort; leave them missing on the mirror
+
+    monkeypatch.setenv("SPATIALVAE_MNIST_MIRROR", mirror.as_uri() + "/")
+    data_root = tmp_path / "data"
+    tr, te = load_mnist_arrays("mnist", data_root=str(data_root))
+    np.testing.assert_array_equal(tr, train)
+    np.testing.assert_array_equal(te, test)
+    # files landed where the loader looks on the next run
+    assert (data_root / "mnist" / "train-images-idx3-ubyte.gz").exists()
+
+    # second call must not re-download (mirror gone -> still works)
+    monkeypatch.setenv("SPATIALVAE_MNIST_MIRROR",
+                       (tmp_path / "nonexistent").as_uri() + "/")
+    tr2, _ = load_mnist_arrays("mnist", data_root=str(data_root))
+    np.testing.assert_array_equal(tr2, train)

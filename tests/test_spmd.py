@@ -66,24 +66,13 @@ def test_spmd_gradient_is_global_batch_mean():
     t, y = _trainer(batch=16)
     mesh = create_mesh(MeshConfig(data=8, model=1))
 
-    # monkeypatch fold_in so every shard uses the same key (test-only)
-    import spatialvae_tpu.parallel.spmd as spmd_mod
-
-    orig = jax.random.fold_in
-    try:
-        step = None
-
-        def same_key(key, idx):
-            return key
-
-        spmd_mod.jax.random.fold_in = same_key
-        step = make_spmd_train_step(t, mesh)
-        y_rep = jnp.tile(y[:2], (8, 1))
-        key = jax.random.PRNGKey(7)
-        z = jnp.asarray(1.0, jnp.float32)
-        state_spmd, m_spmd = step(t.state, y_rep, None, key, z)
-    finally:
-        spmd_mod.jax.random.fold_in = orig
+    # explicit hook: every shard uses the same key (instead of fragile
+    # monkeypatching of the global jax.random.fold_in)
+    step = make_spmd_train_step(t, mesh, fold_shard_key=lambda k, i: k)
+    y_rep = jnp.tile(y[:2], (8, 1))
+    key = jax.random.PRNGKey(7)
+    z = jnp.asarray(1.0, jnp.float32)
+    state_spmd, m_spmd = step(t.state, y_rep, None, key, z)
 
     state_ref, m_ref = t._train_step(t.state, y[:2], None, key, z)
     np.testing.assert_allclose(np.asarray(m_spmd), np.asarray(m_ref),
@@ -127,3 +116,48 @@ def test_spmd_epoch_with_fused_kernel_interpret():
     assert np.isfinite(elbo)
     ev = t.eval_epoch(data, 0)                 # GSPMD unfused eval path
     assert np.isfinite(ev[0])
+
+def test_spmd_tail_batch_is_trained_not_dropped():
+    """An SPMD epoch whose trailing partial batch doesn't divide the data
+    axis must still train those images (round-1 weak #5) — and since the
+    tail runs through the plain replicated step with the same keys, it
+    matches the single-device run exactly."""
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 16
+    q_cfg = InferenceConfig(n=n * m, latent_dim=5, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, num_layers=2)
+    tcfg = TrainConfig(minibatch_size=16, num_epochs=1, seed=0,
+                       image_shape=(n, m))
+    coords = coord_grid(n, m)
+    # N=4 < B: the whole epoch is one tail step of 4 images, 4 % 8 != 0
+    data = ArrayDataset(jax.random.uniform(jax.random.PRNGKey(2),
+                                           (4, n * m)))
+
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    ecfg = ElboConfig(likelihood="bernoulli", theta_prior=np.pi, fused=True)
+    t_mesh = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh)
+    assert t_mesh._spmd
+    w_before = np.asarray(t_mesh.state.params["p"]["coord"]["w"]).copy()
+    r_mesh = t_mesh.train_epoch(data, 0, progress=False)
+    w_after = np.asarray(t_mesh.state.params["p"]["coord"]["w"])
+    assert np.isfinite(r_mesh[0])
+    assert not np.allclose(w_before, w_after), "tail batch was dropped"
+
+    # single-device reference: identical seed/keys, XLA decoder
+    ecfg1 = ElboConfig(likelihood="bernoulli", theta_prior=np.pi)
+    t_one = Trainer(q_cfg, p_cfg, ecfg1, tcfg, coords)
+    r_one = t_one.train_epoch(data, 0, progress=False)
+    np.testing.assert_allclose(np.asarray(r_mesh), np.asarray(r_one),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        w_after, np.asarray(t_one.state.params["p"]["coord"]["w"]),
+        rtol=1e-5, atol=1e-7)
