@@ -471,3 +471,113 @@ def test_vanilla_generator_parity(ref_modules):
     y_j = np.asarray(vanilla_generator_apply(params, cfg, None,
                                              jnp.asarray(z)))
     np.testing.assert_allclose(y_j, y_t, rtol=1e-5, atol=1e-6)
+
+
+def make_rotated_images(n_images: int, n: int, m: int, seed: int):
+    """Synthetic rotated-MNIST proxy: a fixed smooth random function
+    evaluated on per-image rotated coordinate grids — the exact generative
+    assumption of the spatial-VAE (rotation is the only latent factor), so
+    BASELINE.json config #1 ('Rotated MNIST, z=2, rotation-only') is
+    exercised at real semantics without the offline-unavailable dataset."""
+    rng = np.random.default_rng(seed)
+    k = 6
+    amp = rng.normal(size=k) * 1.5
+    kx = rng.uniform(1.0, 4.0, size=k)
+    ky = rng.uniform(1.0, 4.0, size=k)
+    ph = rng.uniform(0, 2 * np.pi, size=k)
+
+    xg = np.linspace(-1, 1, m, dtype=np.float32)
+    yg = np.linspace(1, -1, n, dtype=np.float32)
+    x0, x1 = np.meshgrid(xg, yg)
+    thetas = rng.uniform(0, 2 * np.pi, size=n_images).astype(np.float32)
+    c, s = np.cos(thetas), np.sin(thetas)
+    u = c[:, None, None] * x0[None] - s[:, None, None] * x1[None]
+    v = s[:, None, None] * x0[None] + c[:, None, None] * x1[None]
+    acc = np.zeros_like(u)
+    for i in range(k):
+        acc += amp[i] * np.sin(kx[i] * u * np.pi + ky[i] * v * np.pi + ph[i])
+    return (1.0 / (1.0 + np.exp(-acc))).astype(np.float32)
+
+
+def test_reference_epoch_trajectory_band(ref_modules):
+    """BASELINE.md to-do #1: per-epoch train-ELBO means of the ACTUAL
+    reference train_mnist loop vs our trainer at BASELINE.json config #1
+    scale (z=2, 2-layer 500-unit p/q, 28x28, rotation-only), matched init,
+    INDEPENDENT noise and batch order — asserting the 1%-at-equal-epochs
+    band statistically rather than with shared RNG."""
+    ref_models, ref_mnist, _, _ = ref_modules
+    import jax
+    import jax.numpy as jnp
+
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.models import inference_init, spatial_generator_init
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 28
+    z_dim = 2
+    hidden = 500
+    b = 64
+    n_images = 512
+    epochs = 3
+    lr = 1e-4
+
+    images = make_rotated_images(n_images, n, m, seed=42)
+    flat = images.reshape(n_images, n * m)
+    coords = coord_grid(n, m)
+
+    inf_dim = z_dim + 1                        # rotation-only
+    q_cfg = InferenceConfig(n=n * m, latent_dim=inf_dim, hidden_dim=hidden,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=hidden,
+                                   num_layers=2)
+    kq, kp = jax.random.split(jax.random.PRNGKey(1))
+    qp = inference_init(kq, q_cfg)
+    pp = spatial_generator_init(kp, p_cfg)
+
+    # --- reference side: real eval_minibatch + torch Adam + shuffle -------
+    q_net = ref_models.InferenceNetwork(n * m, inf_dim, hidden, num_layers=2)
+    p_net = ref_models.SpatialGenerator(z_dim, hidden, n_out=1, num_layers=2)
+    _copy_params_to_torch(qp, pp, q_net, p_net)
+    torch.manual_seed(99)
+    optim = torch.optim.Adam(
+        list(p_net.parameters()) + list(q_net.parameters()), lr=lr)
+    x_t = torch.tensor(np.asarray(coords))
+    y_all = torch.tensor(flat)
+    shuffle_rng = np.random.RandomState(7)
+    ref_epochs = []
+    for _ in range(epochs):
+        order = shuffle_rng.permutation(n_images)
+        total = 0.0
+        for k0 in range(0, n_images, b):
+            yb = y_all[order[k0:k0 + b]]
+            elbo, _, _, _ = ref_mnist.eval_minibatch(
+                x_t, yb, p_net, q_net, rotate=True, translate=False,
+                theta_prior=np.pi / 4, use_cuda=False)
+            (-elbo).backward()
+            optim.step()
+            optim.zero_grad()
+            total += float(elbo) * yb.shape[0]
+        ref_epochs.append(total / n_images)
+
+    # --- our side: same init, own RNG/batching ----------------------------
+    ecfg = ElboConfig(rotate=True, translate=False, theta_prior=np.pi / 4,
+                      theta_mean_penalty=True, likelihood="bernoulli")
+    tcfg = TrainConfig(minibatch_size=b, learning_rate=lr,
+                       num_epochs=epochs, seed=5, image_shape=(n, m))
+    trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords)
+    trainer.state = type(trainer.state)(
+        {"q": qp, "p": pp}, trainer.optimizer.init({"q": qp, "p": pp}))
+    ds = ArrayDataset(jnp.asarray(flat))
+    our_epochs = [trainer.train_epoch(ds, e, progress=False)[0]
+                  for e in range(epochs)]
+
+    rel = np.abs((np.array(our_epochs) - np.array(ref_epochs))
+                 / np.array(ref_epochs))
+    print(f"ref: {ref_epochs}\nours: {our_epochs}\nrel: {rel}")
+    assert np.all(rel < 0.01), (ref_epochs, our_epochs, rel)

@@ -1,0 +1,351 @@
+#!/usr/bin/env python
+"""In-kernel microbenchmarks for the fused int8 decoder (TPU only).
+
+Round-1 profile at B=2048 (galaxy 64px z=20): backward Pallas 41.4 ms,
+forward 19.3 ms, everything else ~8 ms.  The int8 MXU floor is ~11 ms fwd /
+~22 ms bwd, so ~27 ms of kernel time is VPU serialization, residual DMA, or
+per-grid-step overhead.  This tool measures each component in isolation with
+scan-amortized timing (single-dispatch timing is meaningless through the
+axon tunnel):
+
+  gemm1         one int8 (Pt,H)x(H,H) GEMM per step, tiny output  -> MXU floor
+  gemm2         two GEMMs per step (the backward's dw1+da0 shapes)
+  gemm1+vpu     GEMM plus the forward's serial VPU chain (a0 build/quant/tanh)
+  fwd-nores     full forward kernel without the a1 residual write
+  fwd           the shipping forward kernel
+  bwd           the shipping backward kernel
+  bwd-fixscale  backward with the per-tile max(|dh1|) replaced by a constant
+
+Usage: python tools/kernel_bench.py [pt=2048] [iters=30]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B, HW, H, NO = 2048, 4096, 500, 3
+
+
+def scan_time(name, fn, args, iters):
+    """Wall time per iteration of fn(*args) inside one jitted lax.scan."""
+    def body(carry, _):
+        out = fn(carry, *args[1:])
+        # thread a scalar of the output back into the carry so iterations
+        # can't be CSE'd or folded
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        bump = (leaf.ravel()[0] * 0).astype(args[0].dtype)
+        return args[0] + bump, ()
+
+    run = jax.jit(lambda a0: jax.lax.scan(body, a0, None, length=iters)[0])
+    r = run(args[0])
+    r.block_until_ready()                      # compile + warm
+    t0 = time.perf_counter()
+    r = run(args[0])
+    r.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:14s} {dt * 1e3:7.2f} ms/iter "
+          f"({B / dt:9.0f} img-equiv/s)", flush=True)
+    return dt
+
+
+def main():
+    pt = 2048
+    iters = 30
+    only = None
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        if k == "pt":
+            pt = int(v)
+        elif k == "iters":
+            iters = int(v)
+        elif k == "only":
+            only = v.split(",")
+
+    def want(name):
+        return only is None or any(name.startswith(o) for o in only)
+
+    from spatialvae_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    fold = jax.random.normal(ks[0], (B, 4, H), jnp.float32)
+    coords = jax.random.normal(ks[1], (HW, 2), jnp.float32)
+    w1 = jax.random.normal(ks[2], (H, H), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[3], (H,), jnp.float32) * 0.1
+    wht = jax.random.normal(ks[4], (NO, H), jnp.float32) * 0.1
+    bht = jax.random.normal(ks[5], (NO,), jnp.float32) * 0.1
+    g = jax.random.normal(ks[6], (B, NO, HW), jnp.float32)
+
+    from spatialvae_tpu.kernels.fused_decoder_int8 import (
+        _bwd_pallas,
+        _fwd_pallas,
+        _quant_sym,
+    )
+
+    w1q, sw = _quant_sym(w1)
+    a0q_tile = jnp.clip(jnp.round(
+        jax.random.normal(ks[7], (pt, H)) * 60), -127, 127).astype(jnp.int8)
+
+    grid = (B, HW // pt)
+    n_steps = grid[0] * grid[1]
+    print(f"# B={B} HW={HW} H={H} pt={pt} grid={grid} "
+          f"({n_steps} steps/iter), iters={iters}")
+
+    vm = pltpu.VMEM
+
+    # ---- gemm1: pure int8 MXU + per-step overhead -------------------------
+    def gemm1_kernel(aq_ref, wq_ref, out_ref):
+        acc = jax.lax.dot_general(
+            aq_ref[:, :], wq_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out_ref[:, :] = acc[0:8, :].astype(jnp.float32)
+
+    def gemm1(aq, wq):
+        return pl.pallas_call(
+            gemm1_kernel, grid=grid,
+            in_specs=[pl.BlockSpec((pt, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                   memory_space=vm)],
+            out_specs=pl.BlockSpec((8, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((8, H), jnp.float32),
+        )(aq, wq)
+
+    if want("gemm1") and not want("gemm1+"):
+        scan_time("gemm1", gemm1, (a0q_tile, w1q), iters)
+
+    # ---- gemm2: the backward's two GEMMs ----------------------------------
+    def gemm2_kernel(aq_ref, gq_ref, wq_ref, out_ref):
+        dw = jax.lax.dot_general(                  # (H, H) = aq^T gq
+            aq_ref[:, :], gq_ref[:, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        da = jax.lax.dot_general(                  # (Pt, H) = gq W^T
+            gq_ref[:, :], wq_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out_ref[:, :] = (dw[0:8, :] + da[0:8, :]).astype(jnp.float32)
+
+    def gemm2(aq, gq, wq):
+        return pl.pallas_call(
+            gemm2_kernel, grid=grid,
+            in_specs=[pl.BlockSpec((pt, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((pt, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                   memory_space=vm)],
+            out_specs=pl.BlockSpec((8, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((8, H), jnp.float32),
+        )(aq, gq, wq)
+
+    if want("gemm2"):
+        scan_time("gemm2", gemm2, (a0q_tile, a0q_tile, w1q), iters)
+
+    # ---- gemm1 + the forward's serial VPU chain ---------------------------
+    def gvpu_kernel(x_ref, f_ref, wq_ref, sw_ref, b1_ref, out_ref):
+        x0 = x_ref[:, 0:1]
+        x1 = x_ref[:, 1:2]
+        h0 = x0 * f_ref[0, 0:1, :] + x1 * f_ref[0, 1:2, :] + f_ref[0, 2:3, :]
+        a0 = jnp.tanh(h0)
+        a0q = jnp.round(a0 * 127.0).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            a0q, wq_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        h1 = acc.astype(jnp.float32) * (sw_ref[0, 0] / 127.0) + b1_ref[0:1, :]
+        a1 = jnp.tanh(h1)
+        out_ref[:, :] = a1[0:8, :]
+
+    def gvpu(x, f, wq, sw_, b1_):
+        return pl.pallas_call(
+            gvpu_kernel, grid=grid,
+            in_specs=[pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, 4, H), lambda i, j: (i, 0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((1, H), lambda i, j: (0, 0),
+                                   memory_space=vm)],
+            out_specs=pl.BlockSpec((8, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((8, H), jnp.float32),
+        )(x, f, wq, sw_, b1_)
+
+    if want("gemm1+vpu"):
+        scan_time("gemm1+vpu", gvpu, (coords, fold, w1q, sw, b1[None, :]), iters)
+
+    # ---- forward without the a1 residual write ----------------------------
+    from spatialvae_tpu.kernels.fused_decoder_int8 import _fwd_kernel
+
+    def fwd_nores_kernel(x_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref,
+                         bht_ref, y_ref):
+        x0 = x_ref[:, 0:1]
+        x1 = x_ref[:, 1:2]
+        h0 = (x0 * f_ref[0, 0:1, :] + x1 * f_ref[0, 1:2, :]
+              + f_ref[0, 2:3, :])
+        a0 = jnp.tanh(h0)
+        a0q = jnp.round(a0 * 127.0).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            a0q, w1q_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        h1 = acc.astype(jnp.float32) * (sw_ref[0, 0] / 127.0) + b1_ref[0:1, :]
+        a1 = jnp.tanh(h1)
+        z2t = jax.lax.dot_general(
+            wht_ref[:, :], a1.astype(wht_ref.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y_ref[0] = jax.nn.sigmoid(z2t + bht_ref[:, 0:1])
+
+    def fwd_nores(x, f, wq, sw_, b1_, wh, bh):
+        return pl.pallas_call(
+            fwd_nores_kernel, grid=grid,
+            in_specs=[pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, 4, H), lambda i, j: (i, 0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((1, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((NO, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((NO, 1), lambda i, j: (0, 0),
+                                   memory_space=vm)],
+            out_specs=pl.BlockSpec((1, NO, pt), lambda i, j: (i, 0, j),
+                                   memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((B, NO, HW), jnp.float32),
+        )(x, f, wq, sw_, b1_, wh, bh)
+
+    if want("fwd-nores"):
+        scan_time("fwd-nores", fwd_nores,
+                  (coords, fold, w1q, sw, b1[None, :], wht, bht[:, None]),
+                  iters)
+
+    # ---- the shipping forward/backward ------------------------------------
+    def fwd_full(f, x):
+        y, a1 = _fwd_pallas(f, x, w1q, sw, b1[None, :], wht, bht[:, None])
+        return y
+
+    if want("fwd") and only is not None and "fwd" in only:
+        scan_time("fwd", fwd_full, (fold, coords), iters)
+    elif only is None:
+        scan_time("fwd", fwd_full, (fold, coords), iters)
+
+    if not (want("bwd")):
+        return
+    y_, a1_ = _fwd_pallas(fold, coords, w1q, sw, b1[None, :], wht,
+                          bht[:, None])
+    y_ = jax.block_until_ready(y_)
+
+    def bwd_full(f, x):
+        outs = _bwd_pallas(f, x, w1q, sw, wht, a1_, y_, g)
+        return outs[0]
+
+    if want("bwd") and not want("bwd-"):
+        scan_time("bwd", bwd_full, (fold, coords), iters)
+
+    # ---- backward with a fixed gradient scale (no per-tile max) -----------
+    def bwdfix_kernel(x_ref, f_ref, w1q_ref, sw_ref, wht_ref, a1_ref, y_ref,
+                      g_ref, df_ref, dw1_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        x0 = x_ref[:, 0:1]
+        x1 = x_ref[:, 1:2]
+        h0 = (x0 * f_ref[0, 0:1, :] + x1 * f_ref[0, 1:2, :]
+              + f_ref[0, 2:3, :])
+        a0 = jnp.tanh(h0)
+        a0q = jnp.round(a0 * 127.0).astype(jnp.int8)
+        a1 = a1_ref[0].astype(jnp.float32)
+        s = y_ref[0]
+        dz2t = g_ref[0] * s * (1.0 - s)
+        dz2c = dz2t.astype(wht_ref.dtype)
+        da1 = jax.lax.dot_general(
+            dz2c, wht_ref[:, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh1 = da1 * (1.0 - a1 * a1)
+        sg = 0.01                                 # fixed scale (timing only)
+        dh1q = jnp.clip(jnp.round(dh1 * (1.0 / sg)), -127, 127
+                        ).astype(jnp.int8)
+        dw1 = jax.lax.dot_general(
+            a0q, dh1q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        da0 = jax.lax.dot_general(
+            dh1q, w1q_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        dh0 = da0 * (1.0 - a0 * a0)
+        dw0r = jnp.sum(x0 * dh0, axis=0, keepdims=True)
+        dw1r = jnp.sum(x1 * dh0, axis=0, keepdims=True)
+        dcr = jnp.sum(dh0, axis=0, keepdims=True)
+        dfold = jnp.concatenate(
+            [dw0r, dw1r, dcr, jnp.zeros_like(dcr)], axis=0)[None]
+        first = jnp.logical_and(i == 0, j == 0)
+
+        @pl.when(first)
+        def _():
+            dw1_ref[:, :] = dw1
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dw1_ref[:, :] += dw1
+
+        @pl.when(j == 0)
+        def _():
+            df_ref[:, :, :] = dfold
+
+        @pl.when(j != 0)
+        def _():
+            df_ref[:, :, :] += dfold
+
+    def bwdfix(f, x):
+        return pl.pallas_call(
+            bwdfix_kernel, grid=grid,
+            in_specs=[pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, 4, H), lambda i, j: (i, 0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((NO, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, pt, H), lambda i, j: (i, j, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, NO, pt), lambda i, j: (i, 0, j),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, NO, pt), lambda i, j: (i, 0, j),
+                                   memory_space=vm)],
+            out_specs=(
+                pl.BlockSpec((1, 4, H), lambda i, j: (i, 0, 0),
+                             memory_space=vm),
+                pl.BlockSpec((H, H), lambda i, j: (0, 0), memory_space=vm),
+            ),
+            out_shape=(jax.ShapeDtypeStruct((B, 4, H), jnp.float32),
+                       jax.ShapeDtypeStruct((H, H), jnp.float32)),
+        )(x, f, w1q, sw, wht, a1_, y_, g)
+
+    def bwdfix_fn(f, x):
+        return bwdfix(f, x)[0]
+
+    if want("bwd-fixscale"):
+        scan_time("bwd-fixscale", bwdfix_fn, (fold, coords), iters)
+
+
+if __name__ == "__main__":
+    main()
