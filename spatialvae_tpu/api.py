@@ -117,7 +117,8 @@ class SpatialVae:
                               vanilla=self.vanilla)
         _, _, _, y_hat = elbo_minibatch(
             self.q_params, self.p_params, self.q_cfg, self.p_cfg, ecfg,
-            self.coords, y, key, image_shape=self.image_shape)
+            self.coords, y, key, image_shape=self.image_shape,
+            want_y_hat=True)
         return y_hat
 
     def reconstruct_canonical(self, y: jnp.ndarray, key: jax.Array

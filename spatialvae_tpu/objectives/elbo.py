@@ -60,6 +60,7 @@ class ElboConfig:
     use_fold: bool = True
     fused: bool = False                    # Pallas fused decoder tail (TPU)
     int8: bool = False                     # experimental int8-MXU decoder
+    fused_loss: bool = True                # single-kernel decode+BCE+grad
     fit_noise_interleaved: bool = True
 
 
@@ -91,8 +92,12 @@ def elbo_minibatch(
     ctf: Optional[jnp.ndarray] = None,    # (B, kn, km) per-image CTF kernels
     mask: Optional[jnp.ndarray] = None,   # (HW,) float {0,1} pixel mask
     image_shape: Optional[Tuple[int, int]] = None,  # (n, m) for CTF
+    want_y_hat: bool = False,             # display paths need the decode
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (elbo, log_p_x_g_z, kl_div, y_hat) — scalars except y_hat."""
+    """Returns (elbo, log_p_x_g_z, kl_div, y_hat) — scalars except y_hat.
+
+    y_hat is None on the int8 fused-loss fast path (training/eval need only
+    the scalars; pass want_y_hat=True to force the decoding path)."""
     b = y.shape[0]
     if y_inf is None:
         y_inf = y
@@ -141,6 +146,25 @@ def elbo_minibatch(
         # below covers translation and z (train_mnist.py:83-85)
 
     z = z * z_scale
+
+    # ---- fused int8 decode+BCE+backward fast path ---------------------------
+    # one Pallas kernel computes the Bernoulli log-likelihood AND its
+    # gradients (kernels/fused_loss_int8.py); the decode never materialises
+    if (ecfg.fused and ecfg.int8 and ecfg.fused_loss and not ecfg.vanilla
+            and not want_y_hat
+            and ecfg.likelihood == "bernoulli" and ctf is None
+            and ecfg.use_fold and can_fold(p_cfg)):
+        from spatialvae_tpu.kernels.fused_loss_int8 import (
+            can_fuse_loss_int8,
+            fused_bce_spatial_int8,
+        )
+        if can_fuse_loss_int8(p_cfg, coords.shape[0], ecfg.likelihood):
+            bce = fused_bce_spatial_int8(p_params, p_cfg, coords, theta, dx,
+                                         z, y)
+            log_p = -bce / b
+            z_kl = -z_logstd + 0.5 * z_std ** 2 + 0.5 * z_mu ** 2 - 0.5
+            kl_div = jnp.mean(kl_div + jnp.sum(z_kl, axis=1))
+            return log_p - kl_div, log_p, kl_div, None
 
     # ---- decode -----------------------------------------------------------
     if ecfg.vanilla:

@@ -403,7 +403,7 @@ class Trainer:
             self.state.params["q"], self.state.params["p"], self.q_cfg,
             self.p_cfg, self._nonstep_ecfg, self.coords, y, key,
             z_scale=z_scale,
-            mask=None, image_shape=self.tcfg.image_shape)
+            mask=None, image_shape=self.tcfg.image_shape, want_y_hat=True)
         return y_hat
 
     def reconstruct_canonical(self, y: jax.Array,

@@ -117,3 +117,108 @@ def test_inference_apply_q8_close_to_f32():
     mu_f, ls_f = inference_apply(params, cfg, y)
     np.testing.assert_allclose(np.asarray(mu_q), np.asarray(mu_f), atol=3e-2)
     np.testing.assert_allclose(np.asarray(ls_q), np.asarray(ls_f), atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# fused loss+grad kernel (kernels/fused_loss_int8.py)
+# ---------------------------------------------------------------------------
+
+
+def test_can_fuse_loss_int8_gating():
+    from spatialvae_tpu.kernels.fused_loss_int8 import can_fuse_loss_int8
+
+    good = SpatialGeneratorConfig(latent_dim=2, hidden_dim=500, num_layers=2)
+    assert can_fuse_loss_int8(good, 4096, "bernoulli")
+    assert not can_fuse_loss_int8(good, 4096, "gaussian")
+    assert not can_fuse_loss_int8(good, 784, "bernoulli")   # not tile-aligned
+    assert not can_fuse_loss_int8(
+        SpatialGeneratorConfig(latent_dim=2, num_layers=3), 4096, "bernoulli")
+
+
+def test_fused_loss_int8_bce_and_grads_close_to_f32():
+    """The single-kernel forward+BCE+backward must match the f32 folded
+    decode + clipped-BCE + autodiff within int8 quantisation noise."""
+    from spatialvae_tpu.kernels.fused_loss_int8 import fused_bce_spatial_int8
+
+    cfg = SpatialGeneratorConfig(latent_dim=4, hidden_dim=32, n_out=2,
+                                 num_layers=2)
+    params = spatial_generator_init(jax.random.PRNGKey(0), cfg)
+    b, hw = 3, 1024
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    coords = jax.random.uniform(ks[0], (hw, 2), minval=-1, maxval=1)
+    theta = jax.random.normal(ks[1], (b,)) * 0.5
+    dx = jax.random.normal(ks[2], (b, 2)) * 0.1
+    z = jax.random.normal(ks[3], (b, 4))
+    y = jax.random.uniform(ks[4], (b, hw, 2))
+
+    def bce_ref(p, th, d, zz):
+        yh = spatial_generator_apply_folded(p, cfg, coords, th, d, zz)
+        log_y = jnp.clip(jnp.log(yh), -100.0, None)
+        log_1my = jnp.clip(jnp.log1p(-yh), -100.0, None)
+        return -jnp.sum(y * log_y + (1.0 - y) * log_1my)
+
+    def bce_fused(p, th, d, zz):
+        return fused_bce_spatial_int8(p, cfg, coords, th, d, zz, y,
+                                      interpret=True)
+
+    v_ref, g_ref = jax.value_and_grad(bce_ref, argnums=(0, 1, 2, 3))(
+        params, theta, dx, z)
+    v_f, g_f = jax.value_and_grad(bce_fused, argnums=(0, 1, 2, 3))(
+        params, theta, dx, z)
+
+    # the BCE value itself is near-exact (f32 head on int8 hidden layer)
+    assert abs(float(v_f - v_ref) / float(v_ref)) < 1e-4
+    # gradients carry the int8 noise: max-rel under a few % per leaf
+    for a, r in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_ref)):
+        a = np.asarray(a)
+        r = np.asarray(r)
+        rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-12)
+        assert rel < 5e-2, rel
+        # and direction agrees tightly
+        denom = np.linalg.norm(a.ravel()) * np.linalg.norm(r.ravel())
+        if denom > 1e-8:
+            assert float(a.ravel() @ r.ravel() / denom) > 0.995
+
+
+def test_elbo_fused_loss_path_matches_plain_int8_off():
+    """elbo_minibatch with int8+fused on the bernoulli path returns the
+    same scalars as the XLA path within quantisation noise, and y_hat=None
+    (scalars-only fast path)."""
+    from spatialvae_tpu.core.config import InferenceConfig
+    from spatialvae_tpu.models import inference_init
+    from spatialvae_tpu.objectives import ElboConfig, elbo_minibatch
+
+    n = m = 32                                   # HW=1024: fused-loss eligible
+    cfg = SpatialGeneratorConfig(latent_dim=3, hidden_dim=32, n_out=1,
+                                 num_layers=2)
+    q_cfg = InferenceConfig(n=n * m, latent_dim=6, hidden_dim=16,
+                            num_layers=2)
+    kq, kp = jax.random.split(jax.random.PRNGKey(2))
+    qp = inference_init(kq, q_cfg)
+    pp = spatial_generator_init(kp, cfg)
+    coords = jnp.asarray(coord_grid(n, m))
+    y = jax.random.uniform(jax.random.PRNGKey(3), (4, n * m))
+    noise = jax.random.normal(jax.random.PRNGKey(4), (4, 6))
+
+    e_plain = elbo_minibatch(qp, pp, q_cfg, cfg,
+                             ElboConfig(theta_prior=np.pi), coords, y, None,
+                             noise=noise)
+    with pltpu.force_tpu_interpret_mode():
+        e_fused = elbo_minibatch(qp, pp, q_cfg, cfg,
+                                 ElboConfig(theta_prior=np.pi, fused=True,
+                                            int8=True),
+                                 coords, y, None, noise=noise)
+    assert e_fused[3] is None
+    np.testing.assert_allclose(float(e_fused[0]), float(e_plain[0]),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(e_fused[2]), float(e_plain[2]),
+                               rtol=1e-5)
+
+    # want_y_hat forces the decoding path even with int8+fused
+    with pltpu.force_tpu_interpret_mode():
+        e_y = elbo_minibatch(qp, pp, q_cfg, cfg,
+                             ElboConfig(theta_prior=np.pi, fused=True,
+                                        int8=True),
+                             coords, y, None, noise=noise, want_y_hat=True)
+    assert e_y[3] is not None and e_y[3].shape == (4, n * m, 1)

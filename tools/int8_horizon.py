@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Long-horizon bf16-vs-int8 ELBO divergence measurement (TPU).
+
+BASELINE.md's int8 validation was 3 epochs; this runs both decoders for N
+epochs (default 30) on the galaxy-scale workload with the same seed and
+records the per-epoch relative ELBO gap.  The bench's int8 default is only
+honest if the gap stays inside the 1% parity band over a real training
+horizon.
+
+Usage: python tools/int8_horizon.py [epochs=30] [batch=1024] [steps=8]
+Prints one line per epoch and a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run(epochs: int, batch: int, steps: int, int8: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 64
+    channels = 3
+    z_dim = 20
+    q_cfg = InferenceConfig(n=n * m * channels, latent_dim=z_dim + 3,
+                            hidden_dim=5000, num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=500,
+                                   n_out=channels, num_layers=2)
+    ecfg = ElboConfig(rotate=True, translate=True, theta_prior=np.pi,
+                      likelihood="bernoulli", channels=channels, fused=True,
+                      int8=int8)
+    tcfg = TrainConfig(minibatch_size=batch, learning_rate=1e-4,
+                       num_epochs=epochs, seed=0, compute_dtype="bfloat16",
+                       image_shape=(n, m), channels=channels)
+    trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m))
+
+    # structured synthetic data (smooth rotated fields, not pure noise, so
+    # the model actually learns and the ELBO moves over the horizon)
+    rng = np.random.default_rng(3)
+    n_images = batch * steps
+    k = 8
+    amp = rng.normal(size=(channels, k)) * 1.2
+    kx = rng.uniform(1.0, 5.0, size=k)
+    ky = rng.uniform(1.0, 5.0, size=k)
+    ph = rng.uniform(0, 2 * np.pi, size=k)
+    xg = np.linspace(-1, 1, m, dtype=np.float32)
+    yg = np.linspace(1, -1, n, dtype=np.float32)
+    x0, x1 = np.meshgrid(xg, yg)
+    thetas = rng.uniform(0, 2 * np.pi, size=n_images).astype(np.float32)
+    c, s = np.cos(thetas), np.sin(thetas)
+    u = c[:, None, None] * x0[None] - s[:, None, None] * x1[None]
+    v = s[:, None, None] * x0[None] + c[:, None, None] * x1[None]
+    imgs = np.zeros((n_images, n, m, channels), np.float32)
+    for ch in range(channels):
+        acc = np.zeros_like(u)
+        for i in range(k):
+            acc += amp[ch, i] * np.sin(kx[i] * u * np.pi
+                                       + ky[i] * v * np.pi + ph[i])
+        imgs[..., ch] = 1.0 / (1.0 + np.exp(-acc))
+    data = ArrayDataset(jnp.asarray(imgs.reshape(n_images, n * m, channels)))
+
+    elbos = []
+    for e in range(epochs):
+        t0 = time.perf_counter()
+        elbo, _, _ = trainer.train_epoch(data, e, progress=False)
+        elbos.append(elbo)
+        print(f"# {'int8' if int8 else 'bf16'} epoch {e + 1}: ELBO={elbo:.4f}"
+              f" ({time.perf_counter() - t0:.1f}s)", flush=True)
+    return elbos
+
+
+def main():
+    epochs, batch, steps = 30, 1024, 8
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        if k == "epochs":
+            epochs = int(v)
+        elif k == "batch":
+            batch = int(v)
+        elif k == "steps":
+            steps = int(v)
+
+    from spatialvae_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    bf16 = run(epochs, batch, steps, int8=False)
+    i8 = run(epochs, batch, steps, int8=True)
+    rel = [abs((a - b) / b) for a, b in zip(i8, bf16)]
+    for e, (b, a, r) in enumerate(zip(bf16, i8, rel)):
+        print(f"epoch {e + 1:3d}  bf16={b:.4f}  int8={a:.4f}  rel={r:.2e}")
+    print(json.dumps({
+        "epochs": epochs, "batch": batch, "steps_per_epoch": steps,
+        "max_rel_gap": max(rel), "final_rel_gap": rel[-1],
+        "inside_1pct": max(rel) < 0.01,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B, HW, H, NO = 2048, 4096, 500, 3
+B, HW, H, NO = 2048, 4096, 500, 3   # B overridable via b=
 
 
 def scan_time(name, fn, args, iters):
@@ -60,6 +60,7 @@ def scan_time(name, fn, args, iters):
 
 
 def main():
+    global B
     pt = 2048
     iters = 30
     only = None
@@ -69,6 +70,8 @@ def main():
             pt = int(v)
         elif k == "iters":
             iters = int(v)
+        elif k == "b":
+            B = int(v)
         elif k == "only":
             only = v.split(",")
 
@@ -189,6 +192,73 @@ def main():
     if want("gemm1+vpu"):
         scan_time("gemm1+vpu", gvpu, (coords, fold, w1q, sw, b1[None, :]), iters)
 
+    # ---- the forward's VPU chain alone (no GEMM) ---------------------------
+    def vpuonly_kernel(x_ref, f_ref, sw_ref, b1_ref, out_ref):
+        x0 = x_ref[:, 0:1]
+        x1 = x_ref[:, 1:2]
+        h0 = x0 * f_ref[0, 0:1, :] + x1 * f_ref[0, 1:2, :] + f_ref[0, 2:3, :]
+        a0 = jnp.tanh(h0)
+        a0q = jnp.round(a0 * 127.0).astype(jnp.int8)
+        out_ref[:, :] = a0q[0:32, :]
+
+    def vpuonly(x, f, sw_, b1_):
+        return pl.pallas_call(
+            vpuonly_kernel, grid=grid,
+            in_specs=[pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, 4, H), lambda i, j: (i, 0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((1, H), lambda i, j: (0, 0),
+                                   memory_space=vm)],
+            out_specs=pl.BlockSpec((32, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((32, H), jnp.int8),
+        )(x, f, sw_, b1_)
+
+    if want("vpu-only"):
+        scan_time("vpu-only", vpuonly, (coords, fold, sw, b1[None, :]),
+                  iters)
+
+    # ---- GEMM + INDEPENDENT VPU chain: does the hardware overlap them? ----
+    def givpu_kernel(x_ref, f_ref, aq_ref, wq_ref, out_ref, out2_ref):
+        acc = jax.lax.dot_general(                 # MXU on a constant tile
+            aq_ref[:, :], wq_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        x0 = x_ref[:, 0:1]                          # VPU chain, independent
+        x1 = x_ref[:, 1:2]
+        h0 = x0 * f_ref[0, 0:1, :] + x1 * f_ref[0, 1:2, :] + f_ref[0, 2:3, :]
+        a0 = jnp.tanh(h0)
+        a0q = jnp.round(a0 * 127.0).astype(jnp.int8)
+        out_ref[:, :] = acc[0:8, :].astype(jnp.float32)
+        out2_ref[:, :] = a0q[0:32, :]
+
+    def givpu(x, f, aq, wq):
+        return pl.pallas_call(
+            givpu_kernel, grid=grid,
+            in_specs=[pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, 4, H), lambda i, j: (i, 0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((pt, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                   memory_space=vm)],
+            out_specs=(pl.BlockSpec((8, H), lambda i, j: (0, 0),
+                                    memory_space=vm),
+                       pl.BlockSpec((32, H), lambda i, j: (0, 0),
+                                    memory_space=vm)),
+            out_shape=(jax.ShapeDtypeStruct((8, H), jnp.float32),
+                       jax.ShapeDtypeStruct((32, H), jnp.int8)),
+        )(x, f, aq, wq)
+
+    def givpu_fn(x, f):
+        return givpu(x, f, a0q_tile, w1q)
+
+    if want("gemm1+ivpu"):
+        scan_time("gemm1+ivpu", givpu_fn, (coords, fold), iters)
+
     # ---- forward without the a1 residual write ----------------------------
     from spatialvae_tpu.kernels.fused_decoder_int8 import _fwd_kernel
 
@@ -242,10 +312,284 @@ def main():
         y, a1 = _fwd_pallas(f, x, w1q, sw, b1[None, :], wht, bht[:, None])
         return y
 
+    # ---- pipelined forward prototype: sub-tiles + double-buffered acc ----
+    def make_fwdpipe(S):
+        St = pt // S
+
+        def fwdpipe_kernel(x_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref,
+                           bht_ref, y_ref, a1_ref, aq0, aq1, acc0, acc1):
+            w0 = f_ref[0, 0:1, :]
+            w1f = f_ref[0, 1:2, :]
+            c = f_ref[0, 2:3, :]
+            scale = sw_ref[0, 0] * (1.0 / 127.0)
+
+            def build(t, aq):
+                x0 = x_ref[pl.ds(t * St, St), 0:1]
+                x1 = x_ref[pl.ds(t * St, St), 1:2]
+                a0 = jnp.tanh(x0 * w0 + x1 * w1f + c)
+                aq[:, :] = jnp.round(a0 * 127.0).astype(jnp.int8)
+
+            def gemm(aq, acc):
+                acc[:, :] = jax.lax.dot_general(
+                    aq[:, :], w1q_ref[:, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+
+            def epilogue(t, acc):
+                h1 = acc[:, :].astype(jnp.float32) * scale + b1_ref[0:1, :]
+                a1 = jnp.tanh(h1)
+                z2t = jax.lax.dot_general(
+                    wht_ref[:, :], a1, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                y_ref[0, :, pl.ds(t * St, St)] = jax.nn.sigmoid(
+                    z2t + bht_ref[:, 0:1])
+                a1_ref[0, pl.ds(t * St, St), :] = a1.astype(a1_ref.dtype)
+
+            aqs = [aq0, aq1]
+            accs = [acc0, acc1]
+            build(0, aqs[0])
+            gemm(aqs[0], accs[0])
+            for t in range(S):
+                if t + 1 < S:
+                    build(t + 1, aqs[(t + 1) % 2])
+                    gemm(aqs[(t + 1) % 2], accs[(t + 1) % 2])
+                epilogue(t, accs[t % 2])
+
+        def fwdpipe(x, f, wq, sw_, b1_, wh, bh):
+            return pl.pallas_call(
+                fwdpipe_kernel, grid=grid,
+                in_specs=[pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
+                                       memory_space=vm),
+                          pl.BlockSpec((1, 4, H), lambda i, j: (i, 0, 0),
+                                       memory_space=vm),
+                          pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                       memory_space=vm),
+                          pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                       memory_space=pltpu.SMEM),
+                          pl.BlockSpec((1, H), lambda i, j: (0, 0),
+                                       memory_space=vm),
+                          pl.BlockSpec((NO, H), lambda i, j: (0, 0),
+                                       memory_space=vm),
+                          pl.BlockSpec((NO, 1), lambda i, j: (0, 0),
+                                       memory_space=vm)],
+                out_specs=(
+                    pl.BlockSpec((1, NO, pt), lambda i, j: (i, 0, j),
+                                 memory_space=vm),
+                    pl.BlockSpec((1, pt, H), lambda i, j: (i, j, 0),
+                                 memory_space=vm),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((B, NO, HW), jnp.float32),
+                    jax.ShapeDtypeStruct((B, HW, H), jnp.bfloat16),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((St, H), jnp.int8),
+                    pltpu.VMEM((St, H), jnp.int8),
+                    pltpu.VMEM((St, H), jnp.int32),
+                    pltpu.VMEM((St, H), jnp.int32),
+                ],
+            )(x, f, wq, sw_, b1_, wh, bh)
+
+        def fn(x, f):
+            y, a1 = fwdpipe(x, f, w1q, sw, b1[None, :], wht, bht[:, None])
+            return y
+
+        return fn
+
+    for S in (2, 4):
+        if want(f"fwd-pipe{S}"):
+            scan_time(f"fwd-pipe{S}", make_fwdpipe(S), (coords, fold),
+                      iters)
+
     if want("fwd") and only is not None and "fwd" in only:
         scan_time("fwd", fwd_full, (fold, coords), iters)
     elif only is None:
         scan_time("fwd", fwd_full, (fold, coords), iters)
+
+    # ---- gemm3: the fused kernel's MXU floor (h1 + dw1 + da0) -------------
+    def gemm3_kernel(aq_ref, gq_ref, wq_ref, out_ref):
+        h1 = jax.lax.dot_general(
+            aq_ref[:, :], wq_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        dw = jax.lax.dot_general(
+            aq_ref[:, :], gq_ref[:, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        da = jax.lax.dot_general(
+            gq_ref[:, :], wq_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out_ref[:, :] = (h1[0:8, :] + dw[0:8, :] + da[0:8, :]
+                         ).astype(jnp.float32)
+
+    def gemm3(aq, gq, wq):
+        return pl.pallas_call(
+            gemm3_kernel, grid=grid,
+            in_specs=[pl.BlockSpec((pt, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((pt, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                   memory_space=vm)],
+            out_specs=pl.BlockSpec((8, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((8, H), jnp.float32),
+        )(aq, gq, wq)
+
+    if want("gemm3"):
+        scan_time("gemm3", gemm3, (a0q_tile, a0q_tile, w1q), iters)
+
+    # ---- fused loss+grad content, NO cross-step pipeline (2-D grid) -------
+    if want("fused-plain"):
+        from spatialvae_tpu.kernels.fused_loss_int8 import _quant_sym
+
+        y_tp = jax.random.uniform(ks[7], (B, NO, HW), jnp.float32)
+        x3p = jnp.concatenate(
+            [coords, jnp.ones((HW, 1), jnp.float32),
+             jnp.zeros((HW, 1), jnp.float32)], axis=1).astype(jnp.bfloat16)
+
+        def fplain_kernel(x_ref, x3_ref, f_ref, wq_ref, sw_ref, b1_ref,
+                          wht_ref, bht_ref, yt_ref, df_ref, dw1_ref,
+                          db1_ref, dwht_ref, dbht_ref):
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            x0 = x_ref[:, 0:1]
+            x1 = x_ref[:, 1:2]
+            h0 = (x0 * f_ref[0, 0:1, :] + x1 * f_ref[0, 1:2, :]
+                  + f_ref[0, 2:3, :])
+            a0 = jnp.tanh(h0)
+            aq = jnp.round(a0 * 127.0).astype(jnp.int8)
+            scale = sw_ref[0, 0] * (1.0 / 127.0)
+            acc = jax.lax.dot_general(
+                aq, wq_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            h1 = acc.astype(jnp.float32) * scale + b1_ref[0:1, :]
+            a1 = jnp.tanh(h1)
+            a1c = a1.astype(jnp.bfloat16)
+            z2 = jax.lax.dot_general(
+                wht_ref[:, :], a1c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sig = jax.nn.sigmoid(z2 + bht_ref[:, 0:1])
+            yt = yt_ref[0]
+            log_s = jnp.maximum(jnp.log(sig), -100.0)
+            log_1ms = jnp.maximum(jnp.log1p(-sig), -100.0)
+            bce = -jnp.sum(yt * log_s + (1.0 - yt) * log_1ms)
+            dz2 = jnp.where(sig * (1.0 - sig) == 0.0, 0.0, sig - yt)
+            dz2c = dz2.astype(jnp.bfloat16)
+            dwht = jax.lax.dot_general(
+                dz2c, a1c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dbht = jnp.sum(dz2, axis=1, keepdims=True)
+            da1 = jax.lax.dot_general(
+                dz2c, wht_ref[:, :], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dh1 = da1 * (1.0 - a1 * a1)
+            db1 = jnp.sum(dh1, axis=0, keepdims=True)
+            sg = jnp.max(jnp.abs(dh1)) * (1.0 / 127.0) + 1e-30
+            dh1q = jnp.clip(jnp.round(dh1 * (1.0 / sg)), -127, 127
+                            ).astype(jnp.int8)
+            dw1 = jax.lax.dot_general(
+                aq, dh1q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (sg * (1.0 / 127.0))
+            da0 = jax.lax.dot_general(
+                dh1q, wq_ref[:, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (sg * sw_ref[0, 0])
+            dh0 = (da0 * (1.0 - a0 * a0)).astype(jnp.bfloat16)
+            dfold = jax.lax.dot_general(
+                x3_ref[:, :], dh0, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            row = jax.lax.broadcasted_iota(jnp.int32, dfold.shape, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, dfold.shape, 1)
+            dfold = dfold + jnp.where((row == 3) & (col == 0), bce, 0.0)
+            first = jnp.logical_and(i == 0, j == 0)
+
+            @pl.when(j == 0)
+            def _():
+                df_ref[0] = dfold
+
+            @pl.when(j != 0)
+            def _():
+                df_ref[0] += dfold
+
+            @pl.when(first)
+            def _():
+                dw1_ref[:, :] = dw1
+                db1_ref[:, :] = db1
+                dwht_ref[:, :] = dwht
+                dbht_ref[:, :] = dbht
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dw1_ref[:, :] += dw1
+                db1_ref[:, :] += db1
+                dwht_ref[:, :] += dwht
+                dbht_ref[:, :] += dbht
+
+        from spatialvae_tpu.kernels.fused_decoder_int8 import (
+            _quant_sym as _qs)
+        w1qp, swp = _qs(w1)
+
+        def fplain(f, x):
+            return pl.pallas_call(
+                fplain_kernel, grid=grid,
+                in_specs=[
+                    pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((pt, 4), lambda i, j: (j, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((1, 4, H), lambda i, j: (i, 0, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, H), lambda i, j: (0, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((NO, H), lambda i, j: (0, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((NO, 1), lambda i, j: (0, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((1, NO, pt), lambda i, j: (i, 0, j),
+                                 memory_space=vm),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, 4, H), lambda i, j: (i, 0, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((1, H), lambda i, j: (0, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((NO, H), lambda i, j: (0, 0),
+                                 memory_space=vm),
+                    pl.BlockSpec((NO, 1), lambda i, j: (0, 0),
+                                 memory_space=vm),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((B, 4, H), jnp.float32),
+                    jax.ShapeDtypeStruct((H, H), jnp.float32),
+                    jax.ShapeDtypeStruct((1, H), jnp.float32),
+                    jax.ShapeDtypeStruct((NO, H), jnp.float32),
+                    jax.ShapeDtypeStruct((NO, 1), jnp.float32),
+                ),
+            )(x, x3p, f, w1qp, swp, b1[None, :], wht.astype(jnp.bfloat16),
+              bht[:, None], y_tp)
+
+        def fplain_fn(f, x):
+            return fplain(f, x)[0]
+
+        scan_time("fused-plain", fplain_fn, (fold, coords), iters)
+
+    # ---- fused loss+grad kernel (kernels/fused_loss_int8.py) -------------
+    if want("fused-loss"):
+        from spatialvae_tpu.kernels.fused_loss_int8 import _lossgrad_pallas
+
+        y_t = jax.random.uniform(ks[7], (B, NO, HW), jnp.float32)
+
+        def flg(f, x):
+            outs = _lossgrad_pallas(f, x, w1q, sw, b1[None, :], wht,
+                                    bht[:, None], y_t)
+            return outs[1]
+
+        scan_time("fused-loss", flg, (fold, coords), iters)
 
     if not (want("bwd")):
         return
