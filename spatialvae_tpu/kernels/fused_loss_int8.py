@@ -18,13 +18,13 @@ VMEM), the duplicated a0 rebuild, the XLA-side BCE + cotangent passes over
 
 Pipelining: microbenchmarks (tools/kernel_bench.py) show Mosaic overlaps
 VPU work with the MXU only when it is *independent* of the in-flight
-matmul (gemm1+ivpu == gemm1, but gemm1+vpu = gemm1 + 4.5 ms at B=2048).
-The kernel therefore runs a 1-D grid of N+1 steps, software-pipelined one
-step deep: step s builds a0q(s) and issues its h1 GEMM straight into a
-rotating i32 VMEM scratch (no dependent VPU op after the matmul), then
-runs the whole epilogue (head, BCE, backward) for step s-1 while the h1
-GEMM for s occupies the MXU.  Output index maps are shifted by one step
-accordingly; step N is a flush step that only runs the epilogue.
+matmul AND in the same basic block (gemm1+ivpu == gemm1, but gemm1+vpu =
+gemm1 + 4.5 ms at B=2048; a pl.when-staged cross-step pipeline was SLOWER
+because the scheduler cannot interleave across scf.if region boundaries).
+The kernel therefore processes an IMAGE PAIR per grid step in one straight-
+line block — build(a), h1-GEMM(a), build(b), h1-GEMM(b), epilogue(a),
+epilogue(b) — so each epilogue's VPU chain sits between independent MXU
+work the scheduler is free to overlap it with.
 
 Numerics (speed mode — gated behind ElboConfig.int8 like the round-1
 kernels): hidden GEMMs int8 with per-tensor weight / per-tile gradient
@@ -34,8 +34,8 @@ The bf16 fused kernel (fused_decoder.py) remains the parity path.
 Long-horizon ELBO agreement is validated by tools/int8_horizon.py.
 
 Supported family: foldable SpatialGenerator, num_layers=2, no resid, no
-softplus, n_out<=8, bernoulli likelihood, no CTF/mask, HW % tile == 0
-(galaxy flagship).  elbo.py falls back to the split kernels otherwise.
+softplus, n_out<=8, bernoulli likelihood, no CTF/mask, HW % tile == 0,
+even batch (galaxy flagship).  elbo.py falls back to the split kernels otherwise.
 Reference math: /root/reference/spatial_vae/models.py:90-132 +
 train_galaxy.py:27-128 (BCE x channels).
 """
@@ -54,9 +54,9 @@ from spatialvae_tpu.kernels.fused_decoder_int8 import _quant_sym
 
 
 def _pick_tile(hw: int) -> int:
-    # i32 acc scratch x2 bounds the tile; 1024x512 keeps the whole kernel
-    # (scratches + stage-B transients) ~13 MB of the 16 MB VMEM budget
-    for t in (1024, 512, 256):
+    # larger tiles amortize the ~0.5 us VPU<->MXU dependency bubbles per
+    # phase boundary; 2048x512 per image (x2 images) peaks ~14 MB of VMEM
+    for t in (2048, 1024, 512, 256):
         if hw % t == 0:
             return t
     return hw
@@ -71,146 +71,183 @@ def can_fuse_loss_int8(cfg: SpatialGeneratorConfig, hw: int,
             and hw >= 1024 and hw % _pick_tile(hw) == 0)
 
 
-def _kernel(x_ref, x3_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, bht_ref,
-            yt_ref, df_ref, dw1_ref, db1_ref, dwht_ref, dbht_ref,
-            aq0, aq1, acc0, acc1, *, tiles: int):
-    """1-D grid, N+1 steps (N = B * tiles); see module docstring.
+class _Phases:
+    """Epilogue for one image of the pair, split into alternating VPU/MXU
+    phases so two instances can be interleaved (see _kernel)."""
 
-    Stage A (s < N): build a0q(s), issue its h1 GEMM into scratch s%2.
-    Stage B (s >= 1): full epilogue for step s-1 from scratch (s-1)%2.
-    Block index maps: x/f at step s; x3/yt and all outputs at step s-1.
+    def __init__(self, r, aq, acc, sw_ref, b1_ref, wht_ref, bht_ref, yt_ref,
+                 w1q_ref, x3_ref):
+        self.r = r
+        self.aq = aq
+        self.acc = acc
+        self.sw_ref = sw_ref
+        self.b1_ref = b1_ref
+        self.wht_ref = wht_ref
+        self.bht_ref = bht_ref
+        self.yt_ref = yt_ref
+        self.w1q_ref = w1q_ref
+        self.x3_ref = x3_ref
+
+    def p1_h1a1(self):                                       # VPU
+        scale = self.sw_ref[0, 0] * (1.0 / 127.0)
+        h1 = self.acc.astype(jnp.float32) * scale + self.b1_ref[0:1, :]
+        self.a1c = jnp.tanh(h1).astype(self.wht_ref.dtype)   # (Pt, H)
+
+    def p2_head(self):                                       # MXU
+        z2 = jax.lax.dot_general(                            # (No, Pt)
+            self.wht_ref[:, :], self.a1c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        self.z2 = z2 + self.bht_ref[:, 0:1].astype(jnp.float32)
+
+    def p3_bce(self):                                        # VPU (tiny)
+        sig = jax.nn.sigmoid(self.z2)
+        yt = self.yt_ref[self.r].astype(jnp.float32)         # (No, Pt)
+        # torch BCE clamps each log term at -100 (train_mnist.py:81)
+        log_s = jnp.maximum(jnp.log(sig), -100.0)
+        log_1ms = jnp.maximum(jnp.log1p(-sig), -100.0)
+        self.bce = -jnp.sum(yt * log_s + (1.0 - yt) * log_1ms)
+        # d bce / d z2 = s - y, except 0 where sigmoid saturates exactly
+        dz2 = jnp.where(sig * (1.0 - sig) == 0.0, 0.0, sig - yt)
+        self.dz2 = dz2
+        self.dz2c = dz2.astype(self.wht_ref.dtype)
+
+    def p4_headbwd(self):                                    # MXU
+        self.dwht = jax.lax.dot_general(                     # (No, H)
+            self.dz2c, self.a1c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # bf16 da1 halves the largest transient (Mosaic needs a 32-bit
+        # matmul acc, so cast right after); dh1 is int8-quantised next, so
+        # the 0.4% rounding is below the quant noise
+        self.da1 = jax.lax.dot_general(                      # (Pt, H)
+            self.dz2c, self.wht_ref[:, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    def p5_dh1(self):                                        # VPU
+        self.dbht = jnp.sum(self.dz2, axis=1, keepdims=True)
+        one = jnp.bfloat16(1.0)
+        dh1 = self.da1 * (one - self.a1c * self.a1c)         # (Pt, H) bf16
+        self.db1 = jnp.sum(dh1, axis=0, keepdims=True,
+                           dtype=jnp.float32)
+        # quantise in bf16 (no f32 materialisation of the tile); the
+        # dequant scale is the exact f32 inverse of the bf16 quant scale,
+        # so no systematic gradient-scale error is introduced
+        maxv = jnp.max(jnp.abs(dh1)).astype(jnp.float32) + 1e-30
+        qs_b = (127.0 / maxv).astype(jnp.bfloat16)
+        self.sg = 1.0 / qs_b.astype(jnp.float32)   # == sg of the f32 path
+        self.dh1q = jnp.clip(jnp.round(dh1 * qs_b), -127, 127
+                             ).astype(jnp.int8)
+
+    def p6_gemms(self):                                      # MXU
+        self.dw1 = jax.lax.dot_general(                      # (H, H) int8
+            self.aq, self.dh1q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * (self.sg * (1.0 / 127.0))
+        self.da0 = jax.lax.dot_general(                      # (Pt, H) int8
+            self.dh1q, self.w1q_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    def p7_dh0(self):                                        # VPU, bf16
+        a0d = self.aq.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 127.0)
+        scl = (self.sg * self.sw_ref[0, 0]).astype(jnp.bfloat16)
+        da0 = self.da0.astype(jnp.bfloat16) * scl
+        self.dh0 = da0 * (jnp.bfloat16(1.0) - a0d * a0d)
+
+    def p8_dfold(self):                                      # MXU + tiny VPU
+        # dfold rows [sum x0*dh0, sum x1*dh0, sum dh0, 0] as one MXU
+        # contraction with the ones-augmented coords (Pt, 4)
+        dfold = jax.lax.dot_general(                         # (4, H)
+            self.x3_ref[:, :].astype(jnp.bfloat16), self.dh0,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # stash the BCE partial in dfold[3, 0]: row 3 multiplies the
+        # fold's zeros row, so its cotangent is discarded by autodiff
+        # (Mosaic cannot store scalars to VMEM directly)
+        row = jax.lax.broadcasted_iota(jnp.int32, dfold.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, dfold.shape, 1)
+        self.dfold = dfold + jnp.where((row == 3) & (col == 0),
+                                       self.bce, 0.0)
+
+
+def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, bht_ref,
+            yt_ref, df_ref, dw1_ref, db1_ref, dwht_ref, dbht_ref):
+    """Grid (B//2, tiles): one IMAGE PAIR x one pixel tile per step.
+
+    Straight-line body (no control flow until the accumulator writes) so
+    the in-order machine can overlap each image's VPU chains with the
+    other image's in-flight MXU work.
     """
-    s = pl.program_id(0)
-    n = pl.num_programs(0) - 1
+    i = pl.program_id(0)
+    j = pl.program_id(1)
 
-    # ---- stage A: first layer + h1 GEMM for step s -------------------------
-    @pl.when(s < n)
-    def _build():
-        x0 = x_ref[:, 0:1]
-        x1 = x_ref[:, 1:2]
-        w0 = f_ref[0, 0:1, :]
-        w1f = f_ref[0, 1:2, :]
-        c = f_ref[0, 2:3, :]
+    x0 = x3_ref[:, 0:1].astype(jnp.float32)
+    x1 = x3_ref[:, 1:2].astype(jnp.float32)
+
+    def build(r):
+        w0 = f_ref[r, 0:1, :]
+        w1f = f_ref[r, 1:2, :]
+        c = f_ref[r, 2:3, :]
         a0 = jnp.tanh((x0 * w0 + x1 * w1f + c).astype(jnp.float32))
         aq = jnp.round(a0 * 127.0).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            aq, w1q_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return aq, acc
 
-        # raw i32 matmul straight into the rotating scratch: nothing
-        # downstream of the MXU in this stage, so the epilogue below can
-        # run while it executes
-        @pl.when(s % 2 == 0)
-        def _():
-            aq0[:, :] = aq
-            acc0[:, :] = jax.lax.dot_general(
-                aq, w1q_ref[:, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+    # -- explicit two-image software pipeline --------------------------------
+    # The machine issues in order with an async MXU: a VPU op dependent on
+    # the previous matmul stalls (~0.5 us bubble per boundary, measured),
+    # but independent work placed there executes for free.  Image B's
+    # phases run one phase BEHIND image A's, so every dependent wait of one
+    # image is covered by the other's adjacent-phase work — and unlike the
+    # lockstep ordering, no two same-phase transients (the 4 MB da1/da0
+    # tiles) are ever live together.
+    aq_a, acc_a = build(0)
+    aq_b, acc_b = build(1)
 
-        @pl.when(s % 2 == 1)
-        def _():
-            aq1[:, :] = aq
-            acc1[:, :] = jax.lax.dot_general(
-                aq, w1q_ref[:, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+    sa = _Phases(0, aq_a, acc_a, sw_ref, b1_ref, wht_ref, bht_ref, yt_ref,
+                 w1q_ref, x3_ref)
+    sb = _Phases(1, aq_b, acc_b, sw_ref, b1_ref, wht_ref, bht_ref, yt_ref,
+                 w1q_ref, x3_ref)
+    # phases alternate VPU/MXU; issuing each image's (VPU, MXU) couple
+    # back-to-back and alternating images keeps the MXU queue fed while
+    # the other image's dependent VPU work executes in its shadow
+    seq = ("p1_h1a1", "p2_head", "p3_bce", "p4_headbwd", "p5_dh1",
+           "p6_gemms", "p7_dh0", "p8_dfold")
+    for k in range(0, len(seq), 2):
+        getattr(sa, seq[k])()
+        getattr(sa, seq[k + 1])()
+        getattr(sb, seq[k])()
+        getattr(sb, seq[k + 1])()
 
-    # ---- stage B: head + BCE + backward for step s - 1 ----------------------
-    @pl.when(s >= 1)
-    def _epilogue():
-        p = s - 1
-        j = p % tiles                          # pixel-tile index of step p
-        first = p == 0
+    df_pair = jnp.stack([sa.dfold, sb.dfold])               # (2, 4, H)
+    dw1 = sa.dw1 + sb.dw1
+    db1 = sa.db1 + sb.db1
+    dwht = sa.dwht + sb.dwht
+    dbht = sa.dbht + sb.dbht
 
-        def run(aq_s, acc_s):
-            scale = sw_ref[0, 0] * (1.0 / 127.0)
-            h1 = acc_s[:, :].astype(jnp.float32) * scale + b1_ref[0:1, :]
-            a1 = jnp.tanh(h1)                                   # (Pt, H)
-            a1c = a1.astype(wht_ref.dtype)
-            z2 = jax.lax.dot_general(                           # (No, Pt)
-                wht_ref[:, :], a1c, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            z2 = z2 + bht_ref[:, 0:1].astype(jnp.float32)
-            sig = jax.nn.sigmoid(z2)
+    first = jnp.logical_and(i == 0, j == 0)
 
-            yt = yt_ref[0].astype(jnp.float32)                  # (No, Pt)
-            # torch BCE clamps each log term at -100 (train_mnist.py:81)
-            log_s = jnp.maximum(jnp.log(sig), -100.0)
-            log_1ms = jnp.maximum(jnp.log1p(-sig), -100.0)
-            bce = -jnp.sum(yt * log_s + (1.0 - yt) * log_1ms)
+    @pl.when(j == 0)
+    def _():
+        df_ref[:, :, :] = df_pair
 
-            # d bce / d z2 = s - y, except 0 where sigmoid saturates
-            # exactly (the clamp zeroes the gradient there — matches the
-            # XLA clip path in f32)
-            dz2 = jnp.where(sig * (1.0 - sig) == 0.0, 0.0, sig - yt)
-            dz2c = dz2.astype(wht_ref.dtype)
+    @pl.when(j != 0)
+    def _():
+        df_ref[:, :, :] += df_pair
 
-            dwht = jax.lax.dot_general(                         # (No, H)
-                dz2c, a1c, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dbht = jnp.sum(dz2, axis=1, keepdims=True)          # (No, 1)
-            da1 = jax.lax.dot_general(                          # (Pt, H)
-                dz2c, wht_ref[:, :], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    @pl.when(first)
+    def _():
+        dw1_ref[:, :] = dw1
+        db1_ref[:, :] = db1
+        dwht_ref[:, :] = dwht
+        dbht_ref[:, :] = dbht
 
-            dh1 = da1 * (1.0 - a1 * a1)
-            db1 = jnp.sum(dh1, axis=0, keepdims=True)
-            sg = jnp.max(jnp.abs(dh1)) * (1.0 / 127.0) + 1e-30
-            dh1q = jnp.clip(jnp.round(dh1 * (1.0 / sg)), -127, 127
-                            ).astype(jnp.int8)
-
-            dw1 = jax.lax.dot_general(                          # (H, H) int8
-                aq_s[:, :], dh1q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32
-            ).astype(jnp.float32) * (sg * (1.0 / 127.0))
-            da0 = jax.lax.dot_general(                          # (Pt, H) int8
-                dh1q, w1q_ref[:, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32
-            ).astype(jnp.float32) * (sg * sw_ref[0, 0])
-
-            a0d = aq_s[:, :].astype(jnp.float32) * (1.0 / 127.0)
-            dh0 = (da0 * (1.0 - a0d * a0d)).astype(jnp.bfloat16)
-            # dfold rows [sum x0*dh0, sum x1*dh0, sum dh0, 0] as one MXU
-            # contraction with the ones-augmented coords (Pt, 4)
-            dfold = jax.lax.dot_general(                        # (4, H)
-                x3_ref[:, :], dh0, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            # stash the BCE partial in dfold[3, 0]: row 3 multiplies the
-            # fold's zeros row, so its cotangent is discarded by autodiff
-            # (Mosaic cannot store scalars to VMEM directly)
-            row = jax.lax.broadcasted_iota(jnp.int32, dfold.shape, 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, dfold.shape, 1)
-            stash = jnp.where((row == 3) & (col == 0), bce, 0.0)
-            return dfold + stash, dw1, db1, dwht, dbht
-
-        def stage(aq_s, acc_s):
-            dfold, dw1, db1, dwht, dbht = run(aq_s, acc_s)
-
-            @pl.when(j == 0)
-            def _():
-                df_ref[0] = dfold
-
-            @pl.when(j != 0)
-            def _():
-                df_ref[0] += dfold
-
-            @pl.when(first)
-            def _():
-                dw1_ref[:, :] = dw1
-                db1_ref[:, :] = db1
-                dwht_ref[:, :] = dwht
-                dbht_ref[:, :] = dbht
-
-            @pl.when(jnp.logical_not(first))
-            def _():
-                dw1_ref[:, :] += dw1
-                db1_ref[:, :] += db1
-                dwht_ref[:, :] += dwht
-                dbht_ref[:, :] += dbht
-
-        @pl.when(p % 2 == 0)
-        def _():
-            stage(aq0, acc0)
-
-        @pl.when(p % 2 == 1)
-        def _():
-            stage(aq1, acc1)
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw1_ref[:, :] += dw1
+        db1_ref[:, :] += db1
+        dwht_ref[:, :] += dwht
+        dbht_ref[:, :] += dbht
 
 
 def _lossgrad_pallas(fold, coords, w1q, sw, b1, wht, bht, y_t,
@@ -220,25 +257,14 @@ def _lossgrad_pallas(fold, coords, w1q, sw, b1, wht, bht, y_t,
     n_out = wht.shape[0]
     pt = _pick_tile(hw)
     tiles = hw // pt
-    n_steps = b * tiles
+    assert b % 2 == 0, "fused loss kernel processes image pairs"
 
-    def i_of(s):                       # image index of step s (clamped)
-        return jnp.minimum(s, n_steps - 1) // tiles
-
-    def j_of(s):                       # pixel-tile index of step s (clamped)
-        return jnp.minimum(s, n_steps - 1) % tiles
-
-    def i_prev(s):                     # image index of step s - 1
-        return jnp.maximum(s - 1, 0) // tiles
-
-    def j_prev(s):
-        return jnp.maximum(s - 1, 0) % tiles
-
-    # ones-augmented coords for the dfold contraction, bf16 (speed mode)
+    # ones-augmented coords: columns 0-1 feed the first-layer build, the
+    # full (Pt, 4) block is the dfold contraction LHS
     x3 = jnp.concatenate(
         [coords.astype(jnp.float32),
          jnp.ones((hw, 1), jnp.float32),
-         jnp.zeros((hw, 1), jnp.float32)], axis=1).astype(jnp.bfloat16)
+         jnp.zeros((hw, 1), jnp.float32)], axis=1)
 
     vm = pltpu.VMEM
     out_shapes = (
@@ -249,40 +275,37 @@ def _lossgrad_pallas(fold, coords, w1q, sw, b1, wht, bht, y_t,
         jax.ShapeDtypeStruct((n_out, 1), jnp.float32),  # dbh
     )
     out_specs = (
-        pl.BlockSpec((1, 4, h), lambda s: (i_prev(s), 0, 0),
-                     memory_space=vm),
-        pl.BlockSpec((h, h), lambda s: (0, 0), memory_space=vm),
-        pl.BlockSpec((1, h), lambda s: (0, 0), memory_space=vm),
-        pl.BlockSpec((n_out, h), lambda s: (0, 0), memory_space=vm),
-        pl.BlockSpec((n_out, 1), lambda s: (0, 0), memory_space=vm),
+        pl.BlockSpec((2, 4, h), lambda i, j: (i, 0, 0), memory_space=vm),
+        pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
     )
     return pl.pallas_call(
-        functools.partial(_kernel, tiles=tiles),
-        grid=(n_steps + 1,),
+        _kernel,
+        grid=(b // 2, tiles),
         in_specs=[
-            pl.BlockSpec((pt, 2), lambda s: (j_of(s), 0), memory_space=vm),
-            pl.BlockSpec((pt, 4), lambda s: (j_prev(s), 0),
+            pl.BlockSpec((pt, 4), lambda i, j: (j, 0), memory_space=vm),
+            pl.BlockSpec((2, 4, h), lambda i, j: (i, 0, 0),
                          memory_space=vm),
-            pl.BlockSpec((1, 4, h), lambda s: (i_of(s), 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((h, h), lambda s: (0, 0), memory_space=vm),
-            pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h), lambda s: (0, 0), memory_space=vm),
-            pl.BlockSpec((n_out, h), lambda s: (0, 0), memory_space=vm),
-            pl.BlockSpec((n_out, 1), lambda s: (0, 0), memory_space=vm),
-            pl.BlockSpec((1, n_out, pt), lambda s: (i_prev(s), 0, j_prev(s)),
+            pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((2, n_out, pt), lambda i, j: (i, 0, j),
                          memory_space=vm),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((pt, h), jnp.int8),
-            pltpu.VMEM((pt, h), jnp.int8),
-            pltpu.VMEM((pt, h), jnp.int32),
-            pltpu.VMEM((pt, h), jnp.int32),
-        ],
+        # the kernel's working set at pt=2048 is ~21 MB of the 128 MB
+        # physical VMEM; the 16 MB default scoped limit is a compiler
+        # heuristic, not the hardware
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
-    )(coords.astype(fold.dtype), x3, fold, w1q, sw, b1, wht, bht, y_t)
+    )(x3, fold, w1q, sw, b1, wht, bht, y_t)
 
 
 # ---------------------------------------------------------------------------

@@ -151,7 +151,7 @@ def elbo_minibatch(
     # one Pallas kernel computes the Bernoulli log-likelihood AND its
     # gradients (kernels/fused_loss_int8.py); the decode never materialises
     if (ecfg.fused and ecfg.int8 and ecfg.fused_loss and not ecfg.vanilla
-            and not want_y_hat
+            and not want_y_hat and b % 2 == 0
             and ecfg.likelihood == "bernoulli" and ctf is None
             and ecfg.use_fold and can_fold(p_cfg)):
         from spatialvae_tpu.kernels.fused_loss_int8 import (

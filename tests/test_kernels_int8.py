@@ -143,7 +143,7 @@ def test_fused_loss_int8_bce_and_grads_close_to_f32():
     cfg = SpatialGeneratorConfig(latent_dim=4, hidden_dim=32, n_out=2,
                                  num_layers=2)
     params = spatial_generator_init(jax.random.PRNGKey(0), cfg)
-    b, hw = 3, 1024
+    b, hw = 4, 1024
     ks = jax.random.split(jax.random.PRNGKey(1), 5)
     coords = jax.random.uniform(ks[0], (hw, 2), minval=-1, maxval=1)
     theta = jax.random.normal(ks[1], (b,)) * 0.5

@@ -259,6 +259,71 @@ def main():
     if want("gemm1+ivpu"):
         scan_time("gemm1+ivpu", givpu_fn, (coords, fold), iters)
 
+    # ---- GEMM + independent VPU, FULL consumption (no DCE this time) ------
+    def givpu2_kernel(x_ref, f_ref, aq_ref, wq_ref, out_ref, out2_ref):
+        acc = jax.lax.dot_general(
+            aq_ref[:, :], wq_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        x0 = x_ref[:, 0:1]
+        x1 = x_ref[:, 1:2]
+        h0 = x0 * f_ref[0, 0:1, :] + x1 * f_ref[0, 1:2, :] + f_ref[0, 2:3, :]
+        a0 = jnp.tanh(h0)
+        a0q = jnp.round(a0 * 127.0).astype(jnp.int8)
+        out_ref[:, :] = acc[0:8, :].astype(jnp.float32)
+        # full reduction forces the whole (Pt, H) chain to execute
+        out2_ref[:, :] = jnp.sum(a0q.astype(jnp.int32), axis=0,
+                                 keepdims=True)
+
+    def givpu2(x, f):
+        return pl.pallas_call(
+            givpu2_kernel, grid=grid,
+            in_specs=[pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, 4, H), lambda i, j: (i, 0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((pt, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                   memory_space=vm)],
+            out_specs=(pl.BlockSpec((8, H), lambda i, j: (0, 0),
+                                    memory_space=vm),
+                       pl.BlockSpec((1, H), lambda i, j: (0, 0),
+                                    memory_space=vm)),
+            out_shape=(jax.ShapeDtypeStruct((8, H), jnp.float32),
+                       jax.ShapeDtypeStruct((1, H), jnp.int32)),
+        )(x, f, a0q_tile, w1q)
+
+    def givpu2_fn(x, f):
+        return givpu2(x, f)[0]
+
+    if want("gemm1+ivpu2"):
+        scan_time("gemm1+ivpu2", givpu2_fn, (coords, fold), iters)
+
+    # ---- the same full VPU chain alone (reduction-consumed) ---------------
+    def vpu2_kernel(x_ref, f_ref, out2_ref):
+        x0 = x_ref[:, 0:1]
+        x1 = x_ref[:, 1:2]
+        h0 = x0 * f_ref[0, 0:1, :] + x1 * f_ref[0, 1:2, :] + f_ref[0, 2:3, :]
+        a0 = jnp.tanh(h0)
+        a0q = jnp.round(a0 * 127.0).astype(jnp.int8)
+        out2_ref[:, :] = jnp.sum(a0q.astype(jnp.int32), axis=0,
+                                 keepdims=True)
+
+    def vpu2(x, f):
+        return pl.pallas_call(
+            vpu2_kernel, grid=grid,
+            in_specs=[pl.BlockSpec((pt, 2), lambda i, j: (j, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, 4, H), lambda i, j: (i, 0, 0),
+                                   memory_space=vm)],
+            out_specs=pl.BlockSpec((1, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((1, H), jnp.int32),
+        )(x, f)
+
+    if want("vpu-full"):
+        scan_time("vpu-full", vpu2, (coords, fold), iters)
+
     # ---- forward without the a1 residual write ----------------------------
     from spatialvae_tpu.kernels.fused_decoder_int8 import _fwd_kernel
 
