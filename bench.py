@@ -45,12 +45,9 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
                             hidden_dim=5000, num_layers=2)
     p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=500,
                                    n_out=channels, num_layers=2)
-    # fused_loss=False pins the proven split fwd/bwd kernels while the
-    # single-kernel decode+BCE+grad path is being tuned (see
-    # kernels/fused_loss_int8.py); flip once it wins on-chip
     ecfg = ElboConfig(rotate=True, translate=True, theta_prior=np.pi,
                       likelihood="bernoulli", channels=channels, fused=fused,
-                      int8=int8, fused_loss=False)
+                      int8=int8)
     tcfg = TrainConfig(minibatch_size=batch, learning_rate=1e-4,
                        num_epochs=3, seed=0, compute_dtype="bfloat16",
                        image_shape=(n, m), channels=channels)

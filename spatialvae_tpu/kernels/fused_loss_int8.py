@@ -54,9 +54,9 @@ from spatialvae_tpu.kernels.fused_decoder_int8 import _quant_sym
 
 
 def _pick_tile(hw: int) -> int:
-    # larger tiles amortize the ~0.5 us VPU<->MXU dependency bubbles per
-    # phase boundary; 2048x512 per image (x2 images) peaks ~14 MB of VMEM
-    for t in (2048, 1024, 512, 256):
+    # pt=1024 measured marginally faster than 2048 (56.30 vs 56.95 ms at
+    # B=2048) and keeps the working set lean
+    for t in (1024, 512, 256):
         if hw % t == 0:
             return t
     return hw
@@ -130,12 +130,19 @@ class _Phases:
                            dtype=jnp.float32)
         # quantise in bf16 (no f32 materialisation of the tile); the
         # dequant scale is the exact f32 inverse of the bf16 quant scale,
-        # so no systematic gradient-scale error is introduced
-        maxv = jnp.max(jnp.abs(dh1)).astype(jnp.float32) + 1e-30
-        qs_b = (127.0 / maxv).astype(jnp.bfloat16)
-        self.sg = 1.0 / qs_b.astype(jnp.float32)   # == sg of the f32 path
-        self.dh1q = jnp.clip(jnp.round(dh1 * qs_b), -127, 127
-                             ).astype(jnp.int8)
+        # so no systematic gradient-scale error is introduced.  Scales stay
+        # (1, 1) arrays — Mosaic cannot extract sub-32-bit scalars.
+        # reduce rows in bf16 (cheap), then lanes in f32 — the all-axis
+        # bf16 max lowers through a sub-32-bit scalar squeeze, rejected
+        m1 = jnp.max(jnp.abs(dh1), axis=0, keepdims=True)   # (1, H) bf16
+        maxv = jnp.max(m1.astype(jnp.float32), axis=1,
+                       keepdims=True) + 1e-30               # (1, 1) f32
+        qs_b = (127.0 / maxv).astype(jnp.bfloat16)          # (1, 1)
+        self.sg = 1.0 / qs_b.astype(jnp.float32)            # (1, 1) f32
+        # neither bf16 roundeven nor bf16 comparisons legalize in Mosaic:
+        # round the scaled tile in f32 (one transient pass)
+        q = (dh1 * qs_b).astype(jnp.float32)
+        self.dh1q = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
 
     def p6_gemms(self):                                      # MXU
         self.dw1 = jax.lax.dot_general(                      # (H, H) int8
@@ -208,16 +215,16 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, bht_ref,
                  w1q_ref, x3_ref)
     sb = _Phases(1, aq_b, acc_b, sw_ref, b1_ref, wht_ref, bht_ref, yt_ref,
                  w1q_ref, x3_ref)
-    # phases alternate VPU/MXU; issuing each image's (VPU, MXU) couple
-    # back-to-back and alternating images keeps the MXU queue fed while
-    # the other image's dependent VPU work executes in its shadow
+    # measured-best schedule: image B one phase behind image A
     seq = ("p1_h1a1", "p2_head", "p3_bce", "p4_headbwd", "p5_dh1",
            "p6_gemms", "p7_dh0", "p8_dfold")
-    for k in range(0, len(seq), 2):
+    getattr(sa, seq[0])()
+    getattr(sa, seq[1])()
+    getattr(sb, seq[0])()
+    for k in range(2, len(seq)):
         getattr(sa, seq[k])()
-        getattr(sa, seq[k + 1])()
-        getattr(sb, seq[k])()
-        getattr(sb, seq[k + 1])()
+        getattr(sb, seq[k - 1])()
+    getattr(sb, seq[-1])()
 
     df_pair = jnp.stack([sa.dfold, sb.dfold])               # (2, 4, H)
     dw1 = sa.dw1 + sb.dw1
