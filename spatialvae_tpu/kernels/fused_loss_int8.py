@@ -43,6 +43,7 @@ train_galaxy.py:27-128 (BCE x channels).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spatialvae_tpu.core.config import SpatialGeneratorConfig
 from spatialvae_tpu.kernels.fused_decoder_int8 import _quant_sym
+
+
+def _quant_sym4(w: jnp.ndarray):
+    """PER-ROW (fan-in) symmetric int4 quantisation of w1, values held in
+    int8 (this runtime cannot create int4 HBM arrays — the kernel casts to
+    int4 in VMEM).
+
+    Row scales cost nothing in the kernel: da0 = dh1q4 @ w1q4^T picks up
+    scale s[i] on COLUMN i, which commutes through the elementwise dh0
+    chain and the dfold contraction — it is applied to the (4, H) dfold
+    tile.  Returns (q, s) with s shaped (1, H) for that column scaling."""
+    s = (jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1, keepdims=True)
+         / 7.0 + 1e-12)                                    # (H, 1)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -7, 7
+                 ).astype(jnp.int8)
+    return q, s.reshape(1, -1).astype(jnp.float32)
+
+
+# gradient-GEMM precision ('da0_i4' | 'i8') and first-layer build engine,
+# overridable via SPATIALVAE_INT4_GRADS / SPATIALVAE_MXU_BUILD for on-chip
+# A/B measurement (tools/kernel_bench.py, tools/int8_horizon.py).
+# Mosaic constraint: int4 dots compile for contractions (1,0)/(1,1) but NOT
+# (0,0) — the dw1 reduction pattern — so only da0 can ride the 1.74x int4
+# MXU rate (tools/probe_int4.py; /tmp probe of all contraction patterns).
+# The MXU first-layer build measured SLOWER than the VPU broadcast chain
+# (60.8 vs 58.8 ms at B=2048: two extra per-matmul launches per grid step
+# beat the 3 VPU passes they replace), so it defaults off.
+_GRAD_MODE_DEFAULT = "da0_i4"
+_MXU_BUILD_DEFAULT = False
 
 
 def _pick_tile(hw: int) -> int:
@@ -75,8 +105,8 @@ class _Phases:
     """Epilogue for one image of the pair, split into alternating VPU/MXU
     phases so two instances can be interleaved (see _kernel)."""
 
-    def __init__(self, r, aq, acc, sw_ref, b1_ref, wht_ref, bht_ref, yt_ref,
-                 w1q_ref, x3_ref):
+    def __init__(self, r, aq, acc, sw_ref, b1_ref, wht_ref, bht_ref,
+                 yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode):
         self.r = r
         self.aq = aq
         self.acc = acc
@@ -86,7 +116,11 @@ class _Phases:
         self.bht_ref = bht_ref
         self.yt_ref = yt_ref
         self.w1q_ref = w1q_ref
+        self.w4s = w4s
+        self.s4_ref = s4_ref
         self.x3_ref = x3_ref
+        self.i4 = i4
+        self.grad_mode = grad_mode
 
     def p1_h1a1(self):                                       # VPU
         scale = self.sw_ref[0, 0] * (1.0 / 127.0)
@@ -128,35 +162,60 @@ class _Phases:
         dh1 = self.da1 * (one - self.a1c * self.a1c)         # (Pt, H) bf16
         self.db1 = jnp.sum(dh1, axis=0, keepdims=True,
                            dtype=jnp.float32)
-        # quantise in bf16 (no f32 materialisation of the tile); the
-        # dequant scale is the exact f32 inverse of the bf16 quant scale,
-        # so no systematic gradient-scale error is introduced.  Scales stay
-        # (1, 1) arrays — Mosaic cannot extract sub-32-bit scalars.
+        # quantise the gradient tile in bf16 (no f32 materialisation of
+        # the unscaled tile); the dequant scale is the exact f32 inverse
+        # of the bf16 quant scale, so no systematic gradient-scale error
+        # is introduced.  Scales stay (1, 1) arrays — Mosaic cannot
+        # extract sub-32-bit scalars.  grad_mode:
+        #   'da0_i4': dh1 quantised once to int4; da0 = dh1q4 @ w1q4^T
+        #             rides the 1.74x int4 MXU rate (the only gradient
+        #             contraction pattern Mosaic compiles in int4), with
+        #             per-row w1 scales applied on the dfold tile; dw1
+        #             consumes dh1q4 cast up to int8 (its 4-bit noise is
+        #             per-sample and averages over B*HW=8.4M samples —
+        #             validated by tools/int8_horizon.py)
+        #   'i8':     round-1 behaviour
         # reduce rows in bf16 (cheap), then lanes in f32 — the all-axis
         # bf16 max lowers through a sub-32-bit scalar squeeze, rejected
         m1 = jnp.max(jnp.abs(dh1), axis=0, keepdims=True)   # (1, H) bf16
         maxv = jnp.max(m1.astype(jnp.float32), axis=1,
                        keepdims=True) + 1e-30               # (1, 1) f32
-        qs_b = (127.0 / maxv).astype(jnp.bfloat16)          # (1, 1)
-        self.sg = 1.0 / qs_b.astype(jnp.float32)            # (1, 1) f32
-        # neither bf16 roundeven nor bf16 comparisons legalize in Mosaic:
-        # round the scaled tile in f32 (one transient pass)
-        q = (dh1 * qs_b).astype(jnp.float32)
-        self.dh1q = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+        if self.grad_mode == "da0_i4":
+            qs_b = (7.0 / maxv).astype(jnp.bfloat16)        # (1, 1)
+            self.sg = 1.0 / qs_b.astype(jnp.float32)        # (1, 1) f32
+            # neither bf16 roundeven nor bf16 comparisons legalize in
+            # Mosaic: round the scaled tile in f32 (one transient pass)
+            q = (dh1 * qs_b).astype(jnp.float32)
+            q4i8 = jnp.clip(jnp.round(q), -7, 7).astype(jnp.int8)
+            self.dh1q_dw1 = q4i8
+            self.dh1q_da0 = q4i8.astype(self.i4)
+            self.dscale = self.sg * self.s4_ref[0:1, :]     # (1, H)
+        else:
+            qs_b = (127.0 / maxv).astype(jnp.bfloat16)      # (1, 1)
+            self.sg = 1.0 / qs_b.astype(jnp.float32)        # (1, 1) f32
+            q = (dh1 * qs_b).astype(jnp.float32)
+            q8 = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+            self.dh1q_dw1 = q8
+            self.dh1q_da0 = q8
+            self.dscale = self.sg * self.sw_ref[0, 0]       # (1, 1)
 
     def p6_gemms(self):                                      # MXU
         self.dw1 = jax.lax.dot_general(                      # (H, H) int8
-            self.aq, self.dh1q, (((0,), (0,)), ((), ())),
+            self.aq, self.dh1q_dw1, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32
         ).astype(jnp.float32) * (self.sg * (1.0 / 127.0))
-        self.da0 = jax.lax.dot_general(                      # (Pt, H) int8
-            self.dh1q, self.w1q_ref[:, :], (((1,), (1,)), ((), ())),
+        wk = self.w4s if self.grad_mode == "da0_i4" else self.w1q_ref
+        self.da0 = jax.lax.dot_general(                      # (Pt, H)
+            self.dh1q_da0, wk[:, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
 
     def p7_dh0(self):                                        # VPU, bf16
+        # the gradient dequant scale (sg*sw) is NOT applied here: it is a
+        # per-tile scalar, so it commutes with the linear dfold contraction
+        # and is applied to the (4, H) result in p8 instead — one fewer
+        # full (Pt, H) VPU pass
         a0d = self.aq.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 127.0)
-        scl = (self.sg * self.sw_ref[0, 0]).astype(jnp.bfloat16)
-        da0 = self.da0.astype(jnp.bfloat16) * scl
+        da0 = self.da0.astype(jnp.bfloat16)
         self.dh0 = da0 * (jnp.bfloat16(1.0) - a0d * a0d)
 
     def p8_dfold(self):                                      # MXU + tiny VPU
@@ -166,6 +225,7 @@ class _Phases:
             self.x3_ref[:, :].astype(jnp.bfloat16), self.dh0,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        dfold = dfold * self.dscale                          # deferred scale
         # stash the BCE partial in dfold[3, 0]: row 3 multiplies the
         # fold's zeros row, so its cotangent is discarded by autodiff
         # (Mosaic cannot store scalars to VMEM directly)
@@ -175,25 +235,44 @@ class _Phases:
                                        self.bce, 0.0)
 
 
-def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, bht_ref,
-            yt_ref, df_ref, dw1_ref, db1_ref, dwht_ref, dbht_ref):
+def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, w1q4_ref, s4_ref, b1_ref,
+            wht_ref, bht_ref, yt_ref, df_ref, dw1_ref, db1_ref, dwht_ref,
+            dbht_ref, w4s, *, i4, grad_mode, mxu_build):
     """Grid (B//2, tiles): one IMAGE PAIR x one pixel tile per step.
 
     Straight-line body (no control flow until the accumulator writes) so
     the in-order machine can overlap each image's VPU chains with the
-    other image's in-flight MXU work.
+    other image's in-flight MXU work.  ``i4`` is jnp.int4 on hardware and
+    jnp.int8 under interpret mode (bit-identical numerics: values are in
+    [-7, 7] and accumulation is int32 either way).
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    x0 = x3_ref[:, 0:1].astype(jnp.float32)
-    x1 = x3_ref[:, 1:2].astype(jnp.float32)
+    # int4 weight copy for the da0 gradient GEMM, cast once into a
+    # persistent VMEM scratch (int4 HBM arrays are not supported by the
+    # runtime; casting (H, H) every grid step would cost half a tile pass)
+    if grad_mode == "da0_i4":
+        @pl.when(jnp.logical_and(i == 0, j == 0))
+        def _():
+            w4s[:, :] = w1q4_ref[:, :].astype(i4)
 
     def build(r):
-        w0 = f_ref[r, 0:1, :]
-        w1f = f_ref[r, 1:2, :]
-        c = f_ref[r, 2:3, :]
-        a0 = jnp.tanh((x0 * w0 + x1 * w1f + c).astype(jnp.float32))
+        if mxu_build:
+            # h0 as one small MXU contraction: x3 columns [x0, x1, 1, 0]
+            # against fold rows [w0, w1, c, 0] gives exactly
+            # x0*w0 + x1*w1 + c — the fold layout is designed for this.
+            # Measured SLOWER than the VPU chain (per-matmul launch
+            # overhead); kept behind SPATIALVAE_MXU_BUILD for re-testing.
+            h0 = jax.lax.dot_general(
+                x3_ref[:, :], f_ref[r], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            x0 = x3_ref[:, 0:1].astype(jnp.float32)
+            x1 = x3_ref[:, 1:2].astype(jnp.float32)
+            h0 = (x0 * f_ref[r, 0:1, :] + x1 * f_ref[r, 1:2, :]
+                  + f_ref[r, 2:3, :]).astype(jnp.float32)
+        a0 = jnp.tanh(h0)
         aq = jnp.round(a0 * 127.0).astype(jnp.int8)
         acc = jax.lax.dot_general(
             aq, w1q_ref[:, :], (((1,), (0,)), ((), ())),
@@ -211,10 +290,10 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, bht_ref,
     aq_a, acc_a = build(0)
     aq_b, acc_b = build(1)
 
-    sa = _Phases(0, aq_a, acc_a, sw_ref, b1_ref, wht_ref, bht_ref, yt_ref,
-                 w1q_ref, x3_ref)
-    sb = _Phases(1, aq_b, acc_b, sw_ref, b1_ref, wht_ref, bht_ref, yt_ref,
-                 w1q_ref, x3_ref)
+    sa = _Phases(0, aq_a, acc_a, sw_ref, b1_ref, wht_ref, bht_ref,
+                 yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode)
+    sb = _Phases(1, aq_b, acc_b, sw_ref, b1_ref, wht_ref, bht_ref,
+                 yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode)
     # measured-best schedule: image B one phase behind image A
     seq = ("p1_h1a1", "p2_head", "p3_bce", "p4_headbwd", "p5_dh1",
            "p6_gemms", "p7_dh0", "p8_dfold")
@@ -257,7 +336,7 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, bht_ref,
         dbht_ref[:, :] += dbht
 
 
-def _lossgrad_pallas(fold, coords, w1q, sw, b1, wht, bht, y_t,
+def _lossgrad_pallas(fold, coords, w1q, sw, w1q4, s4, b1, wht, bht, y_t,
                      interpret: bool = False):
     b, _, h = fold.shape
     hw = coords.shape[0]
@@ -288,8 +367,18 @@ def _lossgrad_pallas(fold, coords, w1q, sw, b1, wht, bht, y_t,
         pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
         pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
     )
+    # int4 only on real TPU hardware: interpret mode (including
+    # force_tpu_interpret_mode, which this flag cannot see) executes the
+    # kernel as plain XLA ops, and XLA CPU rejects sub-byte dot operands.
+    # int8 containers are bit-identical (values in [-7, 7], i32 acc).
+    use_i4 = not interpret and jax.default_backend() == "tpu"
+    i4 = jnp.int4 if use_i4 else jnp.int8
+    grad_mode = os.environ.get("SPATIALVAE_INT4_GRADS", _GRAD_MODE_DEFAULT)
+    mxu_build = os.environ.get("SPATIALVAE_MXU_BUILD",
+                               "1" if _MXU_BUILD_DEFAULT else "0") == "1"
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, i4=i4, grad_mode=grad_mode,
+                          mxu_build=mxu_build),
         grid=(b // 2, tiles),
         in_specs=[
             pl.BlockSpec((pt, 4), lambda i, j: (j, 0), memory_space=vm),
@@ -298,6 +387,8 @@ def _lossgrad_pallas(fold, coords, w1q, sw, b1, wht, bht, y_t,
             pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
@@ -306,13 +397,14 @@ def _lossgrad_pallas(fold, coords, w1q, sw, b1, wht, bht, y_t,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((h, h), i4)],
         # the kernel's working set at pt=2048 is ~21 MB of the 128 MB
         # physical VMEM; the 16 MB default scoped limit is a compiler
         # heuristic, not the hardware
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
-    )(x3, fold, w1q, sw, b1, wht, bht, y_t)
+    )(x3, fold, w1q, sw, w1q4, s4, b1, wht, bht, y_t)
 
 
 # ---------------------------------------------------------------------------
@@ -322,8 +414,10 @@ def _lossgrad_pallas(fold, coords, w1q, sw, b1, wht, bht, y_t,
 
 def _run(fold, coords, w1, b1, wht, bht, y_t, interpret):
     w1q, sw = _quant_sym(w1)
+    w1q4, s4 = _quant_sym4(w1)
     dfold, dw1, db1, dwht, dbht = _lossgrad_pallas(
-        fold, coords, w1q, sw, b1[None, :].astype(jnp.float32),
+        fold, coords, w1q, sw, w1q4, s4,
+        b1[None, :].astype(jnp.float32),
         wht, bht[:, None], y_t, interpret=interpret)
     # the per-image BCE rides in dfold[:, 3, 0] (see _kernel); leaving it
     # in the gradient is harmless — row 3 multiplies the fold's zeros row
@@ -372,12 +466,16 @@ fused_decoder_bce_int8.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def fused_bce_spatial_int8(params, cfg: SpatialGeneratorConfig,
-                           coords, theta, dx, z, y,
+                           coords, theta, dx, z, y, y_t=None,
                            interpret: bool = False):
     """BCE sum for the foldable int8 decoder against targets y.
 
-    y: (B, HW) or (B, HW, C).  Pose fold stays in XLA so dtheta/ddx/dz and
-    the coord/latent weight grads flow through its autodiff from dfold.
+    y: (B, HW) or (B, HW, C); alternatively pass ``y_t`` — the targets
+    already transposed to (B, C, HW) — and the per-step relayout is skipped
+    entirely (the trainer gathers batches from a dataset copy stored in
+    that layout, hoisting the ~8 ms/step transpose out of the hot loop).
+    Pose fold stays in XLA so dtheta/ddx/dz and the coord/latent weight
+    grads flow through its autodiff from dfold.
     Returns the summed BCE (scalar)."""
     from spatialvae_tpu.models.spatial import fold_pose_into_first_layer
 
@@ -385,8 +483,11 @@ def fused_bce_spatial_int8(params, cfg: SpatialGeneratorConfig,
     fold = jnp.stack([w0, w1f, c, jnp.zeros_like(c)], axis=1)
     hidden = params["layers"][0]
     head = params["layers"][1]
-    b = y.shape[0]
     hw = coords.shape[0]
-    y_t = y.reshape(b, hw, -1).swapaxes(1, 2).astype(jnp.float32)
+    if y_t is None:
+        b = y.shape[0]
+        # the kernel casts target tiles to f32 at use — keep the batch in
+        # its compute dtype to halve the DMA
+        y_t = y.reshape(b, hw, -1).swapaxes(1, 2)
     return fused_decoder_bce_int8(fold, coords, hidden["w"], hidden["b"],
                                   head["w"].T, head["b"], y_t, interpret)

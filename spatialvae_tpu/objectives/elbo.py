@@ -75,6 +75,21 @@ def _bce_sum(y_hat: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return -jnp.sum(y * log_y + (1.0 - y) * log_1my)
 
 
+def fused_loss_active(ecfg: ElboConfig, p_cfg, hw: int, batch: int) -> bool:
+    """True iff elbo_minibatch will take the fused int8 loss+grad kernel
+    path for this config (training, no CTF).  The trainer uses this to
+    decide whether to gather pre-transposed (B, C, HW) target batches."""
+    if ecfg.vanilla or not (ecfg.fused and ecfg.int8 and ecfg.fused_loss):
+        return False
+    if ecfg.likelihood != "bernoulli" or not ecfg.use_fold or batch % 2:
+        return False
+    if not can_fold(p_cfg):
+        return False
+    from spatialvae_tpu.kernels.fused_loss_int8 import can_fuse_loss_int8
+
+    return can_fuse_loss_int8(p_cfg, hw, ecfg.likelihood)
+
+
 def elbo_minibatch(
     q_params,
     p_params,
@@ -93,6 +108,7 @@ def elbo_minibatch(
     mask: Optional[jnp.ndarray] = None,   # (HW,) float {0,1} pixel mask
     image_shape: Optional[Tuple[int, int]] = None,  # (n, m) for CTF
     want_y_hat: bool = False,             # display paths need the decode
+    y_t: Optional[jnp.ndarray] = None,    # (B, C, HW) pre-transposed targets
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (elbo, log_p_x_g_z, kl_div, y_hat) — scalars except y_hat.
 
@@ -150,21 +166,17 @@ def elbo_minibatch(
     # ---- fused int8 decode+BCE+backward fast path ---------------------------
     # one Pallas kernel computes the Bernoulli log-likelihood AND its
     # gradients (kernels/fused_loss_int8.py); the decode never materialises
-    if (ecfg.fused and ecfg.int8 and ecfg.fused_loss and not ecfg.vanilla
-            and not want_y_hat and b % 2 == 0
-            and ecfg.likelihood == "bernoulli" and ctf is None
-            and ecfg.use_fold and can_fold(p_cfg)):
+    if (not want_y_hat and ctf is None
+            and fused_loss_active(ecfg, p_cfg, coords.shape[0], b)):
         from spatialvae_tpu.kernels.fused_loss_int8 import (
-            can_fuse_loss_int8,
             fused_bce_spatial_int8,
         )
-        if can_fuse_loss_int8(p_cfg, coords.shape[0], ecfg.likelihood):
-            bce = fused_bce_spatial_int8(p_params, p_cfg, coords, theta, dx,
-                                         z, y)
-            log_p = -bce / b
-            z_kl = -z_logstd + 0.5 * z_std ** 2 + 0.5 * z_mu ** 2 - 0.5
-            kl_div = jnp.mean(kl_div + jnp.sum(z_kl, axis=1))
-            return log_p - kl_div, log_p, kl_div, None
+        bce = fused_bce_spatial_int8(p_params, p_cfg, coords, theta, dx,
+                                     z, y, y_t=y_t)
+        log_p = -bce / b
+        z_kl = -z_logstd + 0.5 * z_std ** 2 + 0.5 * z_mu ** 2 - 0.5
+        kl_div = jnp.mean(kl_div + jnp.sum(z_kl, axis=1))
+        return log_p - kl_div, log_p, kl_div, None
 
     # ---- decode -----------------------------------------------------------
     if ecfg.vanilla:

@@ -39,10 +39,11 @@ def make_spmd_step(trainer, mesh, *, fold_shard_key=None):
     grad_fn = jax.value_and_grad(trainer._loss, has_aux=True)
     optimizer = trainer.optimizer
 
-    def per_device(state, y, ctf, key, z_scale):
+    def per_device(state, y, ctf, key, z_scale, y_t):
         idx = jax.lax.axis_index("data")
         key = fold(key, idx)                   # decorrelate shard noise
-        (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale)
+        (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale,
+                                  y_t=y_t)
         grads = jax.lax.pmean(grads, "data")   # global-batch gradient
         aux = jax.lax.pmean(aux, "data")       # equal shards -> exact mean
         updates, opt_state = optimizer.update(grads, state.opt_state,
@@ -53,14 +54,15 @@ def make_spmd_step(trainer, mesh, *, fold_shard_key=None):
     def spec(state_like):
         return jax.tree_util.tree_map(lambda _: P(), state_like)
 
-    def step(state, y, ctf, key, z_scale):
+    def step(state, y, ctf, key, z_scale, y_t=None):
         in_specs = (spec(state), P("data"),
                     P("data") if ctf is not None else None,
-                    P(), P())
+                    P(), P(),
+                    P("data") if y_t is not None else None)
         out_specs = (spec(state), P())
         fn = jax.shard_map(per_device, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
-        return fn(state, y, ctf, key, z_scale)
+        return fn(state, y, ctf, key, z_scale, y_t)
 
     return step
 

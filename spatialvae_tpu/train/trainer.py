@@ -123,7 +123,7 @@ class Trainer:
         self._build_steps()
 
     # ------------------------------------------------------------------ loss
-    def _loss(self, params, y, ctf, key, z_scale, ecfg=None):
+    def _loss(self, params, y, ctf, key, z_scale, ecfg=None, y_t=None):
         ecfg = ecfg or self.ecfg
         cd = self._compute_dtype
         q_params = _cast_tree(params["q"], cd)
@@ -153,6 +153,7 @@ class Trainer:
             ctf=None if ctf is None else ctf.astype(cd),
             mask=self.mask,
             image_shape=self.tcfg.image_shape,
+            y_t=y_t,
         )
         loss = -elbo.astype(jnp.float32)
         aux = jnp.stack([elbo.astype(jnp.float32),
@@ -206,8 +207,9 @@ class Trainer:
                 tail_step,
                 out_shardings=NamedSharding(self.mesh, PartitionSpec()))
         else:
-            def train_step(state, y, ctf, key, z_scale):
-                (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale)
+            def train_step(state, y, ctf, key, z_scale, y_t=None):
+                (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale,
+                                          y_t=y_t)
                 # fused_adam upcasts mixed-precision grads inside its single
                 # elementwise pass — no materialised f32 gradient copy
                 updates, opt_state = self.optimizer.update(
@@ -215,31 +217,39 @@ class Trainer:
                 params = optax.apply_updates(state.params, updates)
                 return TrainState(params, opt_state), aux
 
-        def eval_step(params, y, ctf, key, z_scale):
+        def eval_step(params, y, ctf, key, z_scale, y_t=None):
             _, aux = self._loss(params, y, ctf, key, z_scale,
-                                ecfg=self._nonstep_ecfg)
+                                ecfg=self._nonstep_ecfg, y_t=y_t)
             return aux
 
-        def train_epoch_scan(state, data, ctf_data, idx, key, z_scale):
-            """idx: (num_batches, B) permuted index batches."""
+        def train_epoch_scan(state, data, data_t, ctf_data, idx, key,
+                             z_scale):
+            """idx: (num_batches, B) permuted index batches.  data_t is an
+            optional (N, C, HW) copy of data — gathering target batches in
+            the kernel's layout beats a per-step (B, HW, C) transpose."""
             def body(carry, ib):
                 st, k = carry
                 k, sub = jax.random.split(k)
                 y = jnp.take(data, ib, axis=0)
+                y_t = (None if data_t is None
+                       else jnp.take(data_t, ib, axis=0))
                 ctf = (None if ctf_data is None
                        else jnp.take(ctf_data, ib, axis=0))
-                st, aux = train_step(st, y, ctf, sub, z_scale)
+                st, aux = train_step(st, y, ctf, sub, z_scale, y_t)
                 return (st, k), aux
             (state, _), metrics = jax.lax.scan(body, (state, key), idx)
             return state, metrics
 
-        def eval_epoch_scan(params, data, ctf_data, idx, key, z_scale):
+        def eval_epoch_scan(params, data, data_t, ctf_data, idx, key,
+                            z_scale):
             def body(k, ib):
                 k, sub = jax.random.split(k)
                 y = jnp.take(data, ib, axis=0)
+                y_t = (None if data_t is None
+                       else jnp.take(data_t, ib, axis=0))
                 ctf = (None if ctf_data is None
                        else jnp.take(ctf_data, ib, axis=0))
-                aux = eval_step(params, y, ctf, sub, z_scale)
+                aux = eval_step(params, y, ctf, sub, z_scale, y_t)
                 return k, aux
             _, metrics = jax.lax.scan(body, key, idx)
             return metrics
@@ -262,6 +272,40 @@ class Trainer:
         full_idx = idx[:num_full * b].reshape(num_full, b)
         tail_idx = idx[num_full * b:] if tail else None
         return full_idx, tail_idx, num_full, tail
+
+    def _dataset_yt(self, dataset):
+        """(N, C, HW) compute-dtype copy of dataset.y for the fused int8
+        loss kernel, built once per dataset and cached (the kernel wants
+        channel-major target tiles; transposing per step costs ~8 ms at
+        B=2048 — gathering from a pre-transposed copy costs ~0.1 ms)."""
+        y = dataset.y
+        cache = getattr(self, "_yt_cache", None)
+        if cache is None:
+            cache = self._yt_cache = {}
+        hit = cache.get(id(y))
+        if hit is not None and hit[0] is y:
+            return hit[1]
+        n = y.shape[0]
+        hw = self.coords.shape[0]
+        yt = jnp.asarray(y).reshape(n, hw, -1).swapaxes(1, 2) \
+            .astype(self._compute_dtype)
+        # key by id, keep the source array alive in the value so the id
+        # cannot be recycled while the entry exists
+        cache[id(y)] = (y, yt)
+        return yt
+
+    def _wants_yt(self, dataset) -> bool:
+        """True iff the epoch scan's steps will take the fused int8
+        loss-kernel path (so a pre-transposed target copy pays off)."""
+        from spatialvae_tpu.objectives.elbo import fused_loss_active
+
+        if dataset.ctf is not None:
+            return False
+        b = self.tcfg.minibatch_size
+        if self._spmd:
+            b //= self.mesh.shape["data"]
+        return fused_loss_active(self.ecfg, self.p_cfg,
+                                 self.coords.shape[0], b)
 
     def train_epoch(self, dataset, epoch: int, *, progress: bool = True,
                     progress_stream=None) -> Tuple[float, float, float]:
@@ -320,9 +364,11 @@ class Trainer:
                                                        k_tail, z_scale)
         else:
             if num_full:
+                data_t = (self._dataset_yt(dataset) if self._wants_yt(dataset)
+                          else None)
                 state, metrics = self._train_epoch_scan(
-                    state, dataset.y, dataset.ctf, full_idx, step_key,
-                    z_scale)
+                    state, dataset.y, data_t, dataset.ctf, full_idx,
+                    step_key, z_scale)
             if tail and self._spmd \
                     and tail % self.mesh.shape["data"] != 0:
                 # the shard_map step can't take this batch — train it
@@ -382,8 +428,12 @@ class Trainer:
                 m = self._eval_step(self.state.params, y, ctf, k, zs)
                 acc.update(b, *[float(v) for v in np.asarray(m)])
         elif num_full:
+            data_t = (self._dataset_yt(dataset)
+                      if self.mesh is None and self._wants_yt(dataset)
+                      else None)
             metrics = self._eval_epoch_scan(self.state.params, dataset.y,
-                                            dataset.ctf, full_idx, key, zs)
+                                            data_t, dataset.ctf, full_idx,
+                                            key, zs)
             acc.update_array(np.asarray(metrics), b)
         if tail:
             k_tail = jax.random.fold_in(key, num_full)

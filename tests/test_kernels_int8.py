@@ -166,19 +166,25 @@ def test_fused_loss_int8_bce_and_grads_close_to_f32():
     v_f, g_f = jax.value_and_grad(bce_fused, argnums=(0, 1, 2, 3))(
         params, theta, dx, z)
 
-    # the BCE value itself is near-exact (f32 head on int8 hidden layer)
+    # the BCE value itself is near-exact (f32 head on int8 hidden layer;
+    # int4 touches only the gradient GEMMs, never the forward)
     assert abs(float(v_f - v_ref) / float(v_ref)) < 1e-4
-    # gradients carry the int8 noise: max-rel under a few % per leaf
+    # gradients carry int4 quantisation noise.  At this toy scale (b=4,
+    # hw=1024, H=32) the zero-mean rounding noise averages over ~1000x
+    # fewer samples than production (B=2048, HW=4096, H=500), so the
+    # per-element band is loose; the production-scale guarantee is the
+    # end-to-end ELBO-trajectory band (tools/int8_horizon.py and
+    # test_int8_elbo_trajectory_close_to_bf16).
     for a, r in zip(jax.tree_util.tree_leaves(g_f),
                     jax.tree_util.tree_leaves(g_ref)):
         a = np.asarray(a)
         r = np.asarray(r)
         rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-12)
-        assert rel < 5e-2, rel
+        assert rel < 0.15, rel
         # and direction agrees tightly
         denom = np.linalg.norm(a.ravel()) * np.linalg.norm(r.ravel())
         if denom > 1e-8:
-            assert float(a.ravel() @ r.ravel() / denom) > 0.995
+            assert float(a.ravel() @ r.ravel() / denom) > 0.99
 
 
 def test_elbo_fused_loss_path_matches_plain_int8_off():

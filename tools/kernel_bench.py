@@ -644,14 +644,19 @@ def main():
         scan_time("fused-plain", fplain_fn, (fold, coords), iters)
 
     # ---- fused loss+grad kernel (kernels/fused_loss_int8.py) -------------
+    # honours SPATIALVAE_INT4_GRADS / SPATIALVAE_MXU_BUILD for A/B runs
     if want("fused-loss"):
-        from spatialvae_tpu.kernels.fused_loss_int8 import _lossgrad_pallas
+        from spatialvae_tpu.kernels.fused_loss_int8 import (
+            _lossgrad_pallas,
+            _quant_sym4,
+        )
 
         y_t = jax.random.uniform(ks[7], (B, NO, HW), jnp.float32)
+        w1q4, sw4 = _quant_sym4(w1)
 
         def flg(f, x):
-            outs = _lossgrad_pallas(f, x, w1q, sw, b1[None, :], wht,
-                                    bht[:, None], y_t)
+            outs = _lossgrad_pallas(f, x, w1q, sw, w1q4, sw4, b1[None, :],
+                                    wht, bht[:, None], y_t)
             return outs[1]
 
         scan_time("fused-loss", flg, (fold, coords), iters)

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Probe: does Mosaic lower int4 dot_general on this TPU, and at what rate?
+
+v5e advertises int4 MXU throughput at 2x int8 (788 vs 394 TOPS).  If a
+(Pt,H)x(H,H) int4 matmul inside a Pallas kernel runs ~2x the int8 rate, the
+fused loss kernel's dw1/da0 gradient GEMMs (24 of its 36 ms MXU floor) are
+candidates for int4 quantisation.
+
+Usage: python tools/probe_int4.py [pt=2048] [iters=30]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B, HW, H = 2048, 4096, 500
+
+
+def scan_time(name, fn, args, iters):
+    def body(carry, _):
+        out = fn(carry, *args[1:])
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        bump = (leaf.ravel()[0] * 0).astype(args[0].dtype)
+        return args[0] + bump, ()
+
+    run = jax.jit(lambda a0: jax.lax.scan(body, a0, None, length=iters)[0])
+    try:
+        r = run(args[0])
+        r.block_until_ready()
+    except Exception as e:  # noqa: BLE001 — probe tool, report and move on
+        print(f"{name:14s} FAILED: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+        return None
+    t0 = time.perf_counter()
+    r = run(args[0])
+    r.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:14s} {dt * 1e3:7.2f} ms/iter ({B / dt:9.0f} img-equiv/s)",
+          flush=True)
+    return dt
+
+
+def main():
+    pt = 2048
+    iters = 30
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        if k == "pt":
+            pt = int(v)
+        elif k == "iters":
+            iters = int(v)
+
+    from spatialvae_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    a8 = jnp.clip(jnp.round(
+        jax.random.normal(ks[0], (pt, H)) * 60), -127, 127).astype(jnp.int8)
+    w8 = jnp.clip(jnp.round(
+        jax.random.normal(ks[1], (H, H)) * 60), -127, 127).astype(jnp.int8)
+    # int4 HBM arrays are not creatable through this runtime (UNIMPLEMENTED)
+    # — probe in-kernel int8->int4 casts instead, which is what the fused
+    # kernel would do anyway (gradients are quantised inside the kernel)
+    a4in8 = jnp.clip(jnp.round(
+        jax.random.normal(ks[2], (pt, H)) * 3), -7, 7).astype(jnp.int8)
+    w4in8 = jnp.clip(jnp.round(
+        jax.random.normal(ks[3], (H, H)) * 3), -7, 7).astype(jnp.int8)
+
+    grid = (B, HW // pt)
+    print(f"# grid={grid} pt={pt} H={H} iters={iters} "
+          f"backend={jax.default_backend()}")
+    vm = pltpu.VMEM
+
+    def make(cast_to=None):
+        def kern(a_ref, w_ref, out_ref):
+            a = a_ref[:, :]
+            w = w_ref[:, :]
+            if cast_to is not None:
+                a = a.astype(cast_to)
+                w = w.astype(cast_to)
+            acc = jax.lax.dot_general(
+                a, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out_ref[:, :] = acc[0:8, :].astype(jnp.float32)
+
+        def fn(a, w):
+            return pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[pl.BlockSpec((pt, H), lambda i, j: (0, 0),
+                                       memory_space=vm),
+                          pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                       memory_space=vm)],
+                out_specs=pl.BlockSpec((8, H), lambda i, j: (0, 0),
+                                       memory_space=vm),
+                out_shape=jax.ShapeDtypeStruct((8, H), jnp.float32),
+            )(a, w)
+
+        return fn
+
+    scan_time("gemm-int8", make(), (a8, w8), iters)
+    scan_time("gemm-int4", make(jnp.int4), (a4in8, w4in8), iters)
+    scan_time("gemm-i4w", make(None), (a4in8, w4in8), iters)
+
+    # int4 RHS only (weights narrow, activations int8)
+    def kern_wi4(a_ref, w_ref, out_ref):
+        acc = jax.lax.dot_general(
+            a_ref[:, :], w_ref[:, :].astype(jnp.int4),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out_ref[:, :] = acc[0:8, :].astype(jnp.float32)
+
+    def gemm_wi4(a, w):
+        return pl.pallas_call(
+            kern_wi4, grid=grid,
+            in_specs=[pl.BlockSpec((pt, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+                      pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                                   memory_space=vm)],
+            out_specs=pl.BlockSpec((8, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((8, H), jnp.float32),
+        )(a, w)
+
+    scan_time("gemm-i8xi4", gemm_wi4, (a8, w4in8), iters)
+
+
+if __name__ == "__main__":
+    main()
