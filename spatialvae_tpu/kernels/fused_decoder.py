@@ -147,6 +147,10 @@ def _fwd_pallas(fold, coords, whid, bhid, wht, bht, resid):
             jax.ShapeDtypeStruct((b, n_out, hw), jnp.float32),
             jax.ShapeDtypeStruct((lh, b, hw, h), whid.dtype),
         ),
+        # the 16 MB scoped-vmem default is a compiler heuristic (v5e has
+        # 128 MB/core); some batch shapes land a few hundred KB over it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
     )(coords, fold, whid, bhid, wht, bht)
 
 
@@ -306,6 +310,8 @@ def _bwd_pallas(fold, coords, whid, wht, acts, y, g, resid):
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
     )(coords, fold, whid, wht, acts, y, g)
 
 

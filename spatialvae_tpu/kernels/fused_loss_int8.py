@@ -81,6 +81,7 @@ def _quant_sym4(w: jnp.ndarray):
 # beat the 3 VPU passes they replace), so it defaults off.
 _GRAD_MODE_DEFAULT = "da0_i4"
 _MXU_BUILD_DEFAULT = False
+_PIPE_IMGS_DEFAULT = "2"   # images per grid step (SPATIALVAE_PIPE_IMGS)
 
 
 def _pick_tile(hw: int) -> int:
@@ -237,12 +238,12 @@ class _Phases:
 
 def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, w1q4_ref, s4_ref, b1_ref,
             wht_ref, bht_ref, yt_ref, df_ref, dw1_ref, db1_ref, dwht_ref,
-            dbht_ref, w4s, *, i4, grad_mode, mxu_build):
-    """Grid (B//2, tiles): one IMAGE PAIR x one pixel tile per step.
+            dbht_ref, w4s, *, i4, grad_mode, mxu_build, n_img):
+    """Grid (B//n_img, tiles): n_img images x one pixel tile per step.
 
     Straight-line body (no control flow until the accumulator writes) so
     the in-order machine can overlap each image's VPU chains with the
-    other image's in-flight MXU work.  ``i4`` is jnp.int4 on hardware and
+    other images' in-flight MXU work.  ``i4`` is jnp.int4 on hardware and
     jnp.int8 under interpret mode (bit-identical numerics: values are in
     [-7, 7] and accumulation is int32 either way).
     """
@@ -279,37 +280,33 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, w1q4_ref, s4_ref, b1_ref,
             preferred_element_type=jnp.int32)
         return aq, acc
 
-    # -- explicit two-image software pipeline --------------------------------
+    # -- explicit n_img-image software pipeline -------------------------------
     # The machine issues in order with an async MXU: a VPU op dependent on
     # the previous matmul stalls (~0.5 us bubble per boundary, measured),
-    # but independent work placed there executes for free.  Image B's
-    # phases run one phase BEHIND image A's, so every dependent wait of one
-    # image is covered by the other's adjacent-phase work — and unlike the
-    # lockstep ordering, no two same-phase transients (the 4 MB da1/da0
-    # tiles) are ever live together.
-    aq_a, acc_a = build(0)
-    aq_b, acc_b = build(1)
-
-    sa = _Phases(0, aq_a, acc_a, sw_ref, b1_ref, wht_ref, bht_ref,
-                 yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode)
-    sb = _Phases(1, aq_b, acc_b, sw_ref, b1_ref, wht_ref, bht_ref,
-                 yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode)
-    # measured-best schedule: image B one phase behind image A
+    # but independent work placed there executes for free.  Image r's
+    # phases run r phases BEHIND image 0's, so every dependent wait of one
+    # image is covered by another's adjacent-phase work — and staggering
+    # means no two same-phase transients (the 4 MB da1/da0 tiles) are ever
+    # all live together.
+    built = [build(r) for r in range(n_img)]
+    ss = [
+        _Phases(r, aq, acc, sw_ref, b1_ref, wht_ref, bht_ref,
+                yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode)
+        for r, (aq, acc) in enumerate(built)
+    ]
     seq = ("p1_h1a1", "p2_head", "p3_bce", "p4_headbwd", "p5_dh1",
            "p6_gemms", "p7_dh0", "p8_dfold")
-    getattr(sa, seq[0])()
-    getattr(sa, seq[1])()
-    getattr(sb, seq[0])()
-    for k in range(2, len(seq)):
-        getattr(sa, seq[k])()
-        getattr(sb, seq[k - 1])()
-    getattr(sb, seq[-1])()
+    for t in range(len(seq) + n_img - 1):
+        for r in range(n_img):
+            k = t - r
+            if 0 <= k < len(seq):
+                getattr(ss[r], seq[k])()
 
-    df_pair = jnp.stack([sa.dfold, sb.dfold])               # (2, 4, H)
-    dw1 = sa.dw1 + sb.dw1
-    db1 = sa.db1 + sb.db1
-    dwht = sa.dwht + sb.dwht
-    dbht = sa.dbht + sb.dbht
+    df_pair = jnp.stack([s.dfold for s in ss])              # (n_img, 4, H)
+    dw1 = sum(s.dw1 for s in ss[1:]) + ss[0].dw1
+    db1 = sum(s.db1 for s in ss[1:]) + ss[0].db1
+    dwht = sum(s.dwht for s in ss[1:]) + ss[0].dwht
+    dbht = sum(s.dbht for s in ss[1:]) + ss[0].dbht
 
     first = jnp.logical_and(i == 0, j == 0)
 
@@ -344,6 +341,12 @@ def _lossgrad_pallas(fold, coords, w1q, sw, w1q4, s4, b1, wht, bht, y_t,
     pt = _pick_tile(hw)
     tiles = hw // pt
     assert b % 2 == 0, "fused loss kernel processes image pairs"
+    # pipeline depth: how many images share one grid step (halves the
+    # per-grid-step overhead again at 4 and gives the scheduler more
+    # independent work to cover MXU->VPU dependency stalls)
+    n_img = int(os.environ.get("SPATIALVAE_PIPE_IMGS", _PIPE_IMGS_DEFAULT))
+    while b % n_img:
+        n_img //= 2
 
     # ones-augmented coords: columns 0-1 feed the first-layer build, the
     # full (Pt, 4) block is the dfold contraction LHS
@@ -361,7 +364,8 @@ def _lossgrad_pallas(fold, coords, w1q, sw, w1q4, s4, b1, wht, bht, y_t,
         jax.ShapeDtypeStruct((n_out, 1), jnp.float32),  # dbh
     )
     out_specs = (
-        pl.BlockSpec((2, 4, h), lambda i, j: (i, 0, 0), memory_space=vm),
+        pl.BlockSpec((n_img, 4, h), lambda i, j: (i, 0, 0),
+                     memory_space=vm),
         pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
         pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
         pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
@@ -378,11 +382,11 @@ def _lossgrad_pallas(fold, coords, w1q, sw, w1q4, s4, b1, wht, bht, y_t,
                                "1" if _MXU_BUILD_DEFAULT else "0") == "1"
     return pl.pallas_call(
         functools.partial(_kernel, i4=i4, grad_mode=grad_mode,
-                          mxu_build=mxu_build),
-        grid=(b // 2, tiles),
+                          mxu_build=mxu_build, n_img=n_img),
+        grid=(b // n_img, tiles),
         in_specs=[
             pl.BlockSpec((pt, 4), lambda i, j: (j, 0), memory_space=vm),
-            pl.BlockSpec((2, 4, h), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((n_img, 4, h), lambda i, j: (i, 0, 0),
                          memory_space=vm),
             pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
@@ -392,17 +396,17 @@ def _lossgrad_pallas(fold, coords, w1q, sw, w1q4, s4, b1, wht, bht, y_t,
             pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
-            pl.BlockSpec((2, n_out, pt), lambda i, j: (i, 0, j),
+            pl.BlockSpec((n_img, n_out, pt), lambda i, j: (i, 0, j),
                          memory_space=vm),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((h, h), i4)],
-        # the kernel's working set at pt=2048 is ~21 MB of the 128 MB
+        # working set ~21 MB at n_img=2 / ~38 MB at n_img=4 of the 128 MB
         # physical VMEM; the 16 MB default scoped limit is a compiler
         # heuristic, not the hardware
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=40 * 1024 * 1024),
+            vmem_limit_bytes=(40 if n_img <= 2 else 80) * 1024 * 1024),
         interpret=interpret,
     )(x3, fold, w1q, sw, w1q4, s4, b1, wht, bht, y_t)
 
