@@ -70,9 +70,13 @@ def _quant_sym4(w: jnp.ndarray):
     return q, s.reshape(1, -1).astype(jnp.float32)
 
 
-# gradient-GEMM precision ('da0_i4' | 'i8') and first-layer build engine,
-# overridable via SPATIALVAE_INT4_GRADS / SPATIALVAE_MXU_BUILD for on-chip
-# A/B measurement (tools/kernel_bench.py, tools/int8_horizon.py).
+# gradient-GEMM precision ('da0_i4' | 'i8' | 'i4fwd') and first-layer build
+# engine, overridable via SPATIALVAE_INT4_GRADS / SPATIALVAE_MXU_BUILD for
+# on-chip A/B measurement (tools/kernel_bench.py, tools/int8_horizon.py).
+# 'i4fwd' additionally runs the forward hidden GEMM in int4 (4-bit a0 with
+# per-column 4-bit W1): contraction (1,0) IS int4-legal, so the row layout
+# gets the 1.74x rate on the fwd GEMM too — at the cost of 4-bit forward
+# noise in the BCE itself (gate on tools/int8_horizon.py evidence).
 # Mosaic constraint: int4 dots compile for contractions (1,0)/(1,1) but NOT
 # (0,0) — the dw1 reduction pattern — so only da0 can ride the 1.74x int4
 # MXU rate (tools/probe_int4.py; /tmp probe of all contraction patterns).
@@ -81,12 +85,18 @@ def _quant_sym4(w: jnp.ndarray):
 # beat the 3 VPU passes they replace), so it defaults off.
 _GRAD_MODE_DEFAULT = "da0_i4"
 _MXU_BUILD_DEFAULT = False
-_PIPE_IMGS_DEFAULT = "2"   # images per grid step (SPATIALVAE_PIPE_IMGS)
+# images per grid step (SPATIALVAE_PIPE_IMGS).  Measured at B=2048, pt=1024:
+# depth 2 = 51.2 ms, depth 4 = 48.4 ms, depth 8 = 55.8 ms (VMEM pressure
+# breaks Mosaic's block double-buffering) — 4 is the sweet spot.
+_PIPE_IMGS_DEFAULT = "4"
 
 
 def _pick_tile(hw: int) -> int:
     # pt=1024 measured marginally faster than 2048 (56.30 vs 56.95 ms at
     # B=2048) and keeps the working set lean
+    pt_env = os.environ.get("SPATIALVAE_LOSS_TILE")
+    if pt_env and hw % int(pt_env) == 0:
+        return int(pt_env)
     for t in (1024, 512, 256):
         if hw % t == 0:
             return t
@@ -106,12 +116,14 @@ class _Phases:
     """Epilogue for one image of the pair, split into alternating VPU/MXU
     phases so two instances can be interleaved (see _kernel)."""
 
-    def __init__(self, r, aq, acc, sw_ref, b1_ref, wht_ref, bht_ref,
-                 yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode):
+    def __init__(self, r, aq, acc, sw_ref, h1s_ref, b1_ref, wht_ref,
+                 bht_ref, yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4,
+                 grad_mode):
         self.r = r
-        self.aq = aq
+        self.aq = aq            # (Pt, H) int8 (i4fwd: 4-bit values)
         self.acc = acc
         self.sw_ref = sw_ref
+        self.h1s_ref = h1s_ref  # (1, H) fwd dequant row (sw/127, or sf/7)
         self.b1_ref = b1_ref
         self.wht_ref = wht_ref
         self.bht_ref = bht_ref
@@ -122,10 +134,13 @@ class _Phases:
         self.x3_ref = x3_ref
         self.i4 = i4
         self.grad_mode = grad_mode
+        # a0's dequant step (1/127, or 1/7 when the single quantisation is
+        # 4-bit) — used by the dw1 dequant and the tanh' rebuild
+        self.aq_inv = 1.0 / 7.0 if grad_mode == "i4fwd" else 1.0 / 127.0
 
     def p1_h1a1(self):                                       # VPU
-        scale = self.sw_ref[0, 0] * (1.0 / 127.0)
-        h1 = self.acc.astype(jnp.float32) * scale + self.b1_ref[0:1, :]
+        h1 = (self.acc.astype(jnp.float32) * self.h1s_ref[0:1, :]
+              + self.b1_ref[0:1, :])
         self.a1c = jnp.tanh(h1).astype(self.wht_ref.dtype)   # (Pt, H)
 
     def p2_head(self):                                       # MXU
@@ -181,7 +196,7 @@ class _Phases:
         m1 = jnp.max(jnp.abs(dh1), axis=0, keepdims=True)   # (1, H) bf16
         maxv = jnp.max(m1.astype(jnp.float32), axis=1,
                        keepdims=True) + 1e-30               # (1, 1) f32
-        if self.grad_mode == "da0_i4":
+        if self.grad_mode in ("da0_i4", "i4fwd"):
             qs_b = (7.0 / maxv).astype(jnp.bfloat16)        # (1, 1)
             self.sg = 1.0 / qs_b.astype(jnp.float32)        # (1, 1) f32
             # neither bf16 roundeven nor bf16 comparisons legalize in
@@ -204,8 +219,8 @@ class _Phases:
         self.dw1 = jax.lax.dot_general(                      # (H, H) int8
             self.aq, self.dh1q_dw1, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32
-        ).astype(jnp.float32) * (self.sg * (1.0 / 127.0))
-        wk = self.w4s if self.grad_mode == "da0_i4" else self.w1q_ref
+        ).astype(jnp.float32) * (self.sg * self.aq_inv)
+        wk = self.w1q_ref if self.grad_mode == "i8" else self.w4s
         self.da0 = jax.lax.dot_general(                      # (Pt, H)
             self.dh1q_da0, wk[:, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
@@ -215,7 +230,7 @@ class _Phases:
         # per-tile scalar, so it commutes with the linear dfold contraction
         # and is applied to the (4, H) result in p8 instead — one fewer
         # full (Pt, H) VPU pass
-        a0d = self.aq.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 127.0)
+        a0d = self.aq.astype(jnp.bfloat16) * jnp.bfloat16(self.aq_inv)
         da0 = self.da0.astype(jnp.bfloat16)
         self.dh0 = da0 * (jnp.bfloat16(1.0) - a0d * a0d)
 
@@ -236,9 +251,10 @@ class _Phases:
                                        self.bce, 0.0)
 
 
-def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, w1q4_ref, s4_ref, b1_ref,
-            wht_ref, bht_ref, yt_ref, df_ref, dw1_ref, db1_ref, dwht_ref,
-            dbht_ref, w4s, *, i4, grad_mode, mxu_build, n_img):
+def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
+            b1_ref, wht_ref, bht_ref, yt_ref, df_ref, dw1_ref, db1_ref,
+            dwht_ref, dbht_ref, w4s, w4fs, *, i4, grad_mode, mxu_build,
+            n_img):
     """Grid (B//n_img, tiles): n_img images x one pixel tile per step.
 
     Straight-line body (no control flow until the accumulator writes) so
@@ -250,13 +266,16 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, w1q4_ref, s4_ref, b1_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    # int4 weight copy for the da0 gradient GEMM, cast once into a
-    # persistent VMEM scratch (int4 HBM arrays are not supported by the
-    # runtime; casting (H, H) every grid step would cost half a tile pass)
-    if grad_mode == "da0_i4":
+    # int4 weight copies, cast once into persistent VMEM scratches (int4
+    # HBM arrays are not supported by the runtime; casting (H, H) every
+    # grid step would cost half a tile pass).  w4s: da0 operand (per-row
+    # scales); w4fs: fwd operand in i4fwd mode (per-column scales).
+    if grad_mode != "i8":
         @pl.when(jnp.logical_and(i == 0, j == 0))
         def _():
             w4s[:, :] = w1q4_ref[:, :].astype(i4)
+            if grad_mode == "i4fwd":
+                w4fs[:, :] = w1q_ref[:, :].astype(i4)
 
     def build(r):
         if mxu_build:
@@ -274,6 +293,14 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, w1q4_ref, s4_ref, b1_ref,
             h0 = (x0 * f_ref[r, 0:1, :] + x1 * f_ref[r, 1:2, :]
                   + f_ref[r, 2:3, :]).astype(jnp.float32)
         a0 = jnp.tanh(h0)
+        if grad_mode == "i4fwd":
+            # single 4-bit activation quantisation: the int4 fwd GEMM,
+            # the dw1 GEMM and the tanh' rebuild all consume it
+            aq = jnp.clip(jnp.round(a0 * 7.0), -7, 7).astype(jnp.int8)
+            acc = jax.lax.dot_general(                       # int4 x int4
+                aq.astype(i4), w4fs[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return aq, acc
         aq = jnp.round(a0 * 127.0).astype(jnp.int8)
         acc = jax.lax.dot_general(
             aq, w1q_ref[:, :], (((1,), (0,)), ((), ())),
@@ -290,7 +317,7 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, w1q4_ref, s4_ref, b1_ref,
     # all live together.
     built = [build(r) for r in range(n_img)]
     ss = [
-        _Phases(r, aq, acc, sw_ref, b1_ref, wht_ref, bht_ref,
+        _Phases(r, aq, acc, sw_ref, h1s_ref, b1_ref, wht_ref, bht_ref,
                 yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode)
         for r, (aq, acc) in enumerate(built)
     ]
@@ -333,7 +360,7 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, w1q4_ref, s4_ref, b1_ref,
         dbht_ref[:, :] += dbht
 
 
-def _lossgrad_pallas(fold, coords, w1q, sw, w1q4, s4, b1, wht, bht, y_t,
+def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
                      interpret: bool = False):
     b, _, h = fold.shape
     hw = coords.shape[0]
@@ -347,6 +374,25 @@ def _lossgrad_pallas(fold, coords, w1q, sw, w1q4, s4, b1, wht, bht, y_t,
     n_img = int(os.environ.get("SPATIALVAE_PIPE_IMGS", _PIPE_IMGS_DEFAULT))
     while b % n_img:
         n_img //= 2
+    grad_mode = os.environ.get("SPATIALVAE_INT4_GRADS", _GRAD_MODE_DEFAULT)
+
+    f32 = jnp.float32
+    if grad_mode == "i4fwd":
+        # fwd GEMM in int4 too: per-COLUMN (fan-out) W1 scales ride as a
+        # per-column dequant row on h1; the w1q input slot carries the
+        # 4-bit-valued container the kernel casts into the fwd scratch
+        wf4t, sf4 = _quant_sym4(w1.T)
+        w1q = wf4t.T
+        h1s = sf4 * (1.0 / 7.0)                              # (1, H)
+        sw = jnp.ones((1, 1), f32)                           # unused
+    else:
+        w1q, sw = _quant_sym(w1)
+        h1s = jnp.broadcast_to(
+            sw.reshape(1, 1) * (1.0 / 127.0), (1, h)).astype(f32)
+    if grad_mode == "i8":
+        w1q4, s4 = w1q, jnp.ones((1, h), f32)                # unused slots
+    else:
+        w1q4, s4 = _quant_sym4(w1)
 
     # ones-augmented coords: columns 0-1 feed the first-layer build, the
     # full (Pt, 4) block is the dfold contraction LHS
@@ -377,7 +423,6 @@ def _lossgrad_pallas(fold, coords, w1q, sw, w1q4, s4, b1, wht, bht, y_t,
     # int8 containers are bit-identical (values in [-7, 7], i32 acc).
     use_i4 = not interpret and jax.default_backend() == "tpu"
     i4 = jnp.int4 if use_i4 else jnp.int8
-    grad_mode = os.environ.get("SPATIALVAE_INT4_GRADS", _GRAD_MODE_DEFAULT)
     mxu_build = os.environ.get("SPATIALVAE_MXU_BUILD",
                                "1" if _MXU_BUILD_DEFAULT else "0") == "1"
     return pl.pallas_call(
@@ -391,6 +436,7 @@ def _lossgrad_pallas(fold, coords, w1q, sw, w1q4, s4, b1, wht, bht, y_t,
             pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
@@ -401,14 +447,16 @@ def _lossgrad_pallas(fold, coords, w1q, sw, w1q4, s4, b1, wht, bht, y_t,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((h, h), i4)],
-        # working set ~21 MB at n_img=2 / ~38 MB at n_img=4 of the 128 MB
-        # physical VMEM; the 16 MB default scoped limit is a compiler
-        # heuristic, not the hardware
+        scratch_shapes=[pltpu.VMEM((h, h), i4), pltpu.VMEM((h, h), i4)],
+        # the 16 MB default scoped limit is a compiler heuristic, not the
+        # hardware (v5e has 128 MB/core).  Generous caps matter: the 48.4 ms
+        # n_img=4 figure was measured at 80 MB; starving the scheduler of
+        # scoped VMEM (42 MB) costs >10 ms in lost double-buffering.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(40 if n_img <= 2 else 80) * 1024 * 1024),
+            vmem_limit_bytes=(40 if n_img <= 2 else
+                              (80 if pt <= 1024 else 112)) * 1024 * 1024),
         interpret=interpret,
-    )(x3, fold, w1q, sw, w1q4, s4, b1, wht, bht, y_t)
+    )(x3, fold, w1q, sw, h1s, w1q4, s4, b1, wht, bht, y_t)
 
 
 # ---------------------------------------------------------------------------
@@ -417,11 +465,8 @@ def _lossgrad_pallas(fold, coords, w1q, sw, w1q4, s4, b1, wht, bht, y_t,
 
 
 def _run(fold, coords, w1, b1, wht, bht, y_t, interpret):
-    w1q, sw = _quant_sym(w1)
-    w1q4, s4 = _quant_sym4(w1)
     dfold, dw1, db1, dwht, dbht = _lossgrad_pallas(
-        fold, coords, w1q, sw, w1q4, s4,
-        b1[None, :].astype(jnp.float32),
+        fold, coords, w1, b1[None, :].astype(jnp.float32),
         wht, bht[:, None], y_t, interpret=interpret)
     # the per-image BCE rides in dfold[:, 3, 0] (see _kernel); leaving it
     # in the gradient is harmless — row 3 multiplies the fold's zeros row

@@ -1,0 +1,431 @@
+"""Transposed (feature-major) fused int8 loss+grad decoder kernel.
+
+Same math as kernels/fused_loss_int8.py (one pallas_call computing the
+Bernoulli spatial decoder's forward + BCE + full backward), but every
+tensor is laid out FEATURE-MAJOR: activations/gradients are (H, Pt)
+instead of (Pt, H).  Why: Mosaic compiles int4 dot_generals only for
+contraction patterns (1,0) and (1,1) — the row layout's dw1 reduction
+``dot(a0, dh1, (0,0))`` is int4-illegal and was stuck at the int8 MXU
+rate.  Transposed, all three big GEMMs become int4-legal:
+
+    fwd   h1T  = dot(W1^T, a0T,   (1,0))     int8 (accuracy-critical)
+    dw1        = dot(a0T,  dh1T,  (1,1))     int4   <- was int8 (0,0)
+    da0T       = dot(W1,   dh1T,  (1,0))     int4
+
+Measured on v5e (tools/probe_int4.py, B=2048 grid): int8 GEMM 12.4 ms,
+int4 (1,1) 7.6 ms, int4 (1,0) 7.1 ms, transposed first-layer VPU build
+0.76 ms — the layout flip removes ~5 ms/step of MXU floor with no change
+to forward numerics (dw1/db1 pick up 4-bit a0 noise on top of the 4-bit
+dh1 noise both layouts already carry; validated by tools/int8_horizon.py).
+
+The hidden width is padded to the next 32-multiple Hp (int8 sublane-tile
+alignment; a non-multiple sublane extent costs masked partial tiles on
+every feature-major op) and the first pad row of the
+fold is engineered to make a0 exactly tanh(atanh(1/7)) = 1/7 there, so
+the quantised activation row is a known constant (1 at int4, 18 at int8).
+That row turns the dw1 GEMM into a free db1 reduction: row H of
+``dot(a0T_ext, dh1T, (1,1))`` is ``sum_p dh1[p, :]`` — the hidden-bias
+gradient — without a separate cross-lane reduction (lane reductions are
+slow on the VPU) or a skinny MXU pass.  W1's pad rows/cols are zero, so
+the pad rows contribute nothing to fwd/da0 and carry zero cotangent.
+
+Reference math: /root/reference/spatial_vae/models.py:90-132 +
+train_galaxy.py:27-128 (BCE x channels).  Gating/eligibility is shared
+with the row-layout kernel (can_fuse_loss_int8).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spatialvae_tpu.core.config import SpatialGeneratorConfig
+from spatialvae_tpu.kernels.fused_decoder_int8 import _quant_sym
+from spatialvae_tpu.kernels.fused_loss_int8 import (
+    _PIPE_IMGS_DEFAULT,
+    _pick_tile,
+    _quant_sym4,
+)
+
+# the engineered pad-row activation: tanh(h0) = 1/7 exactly, so the int4
+# quantisation rounds to 1 and the int8 one to 18 (both nonzero, both
+# exactly invertible constants)
+_PAD_A0 = 1.0 / 7.0
+_PAD_H0 = math.atanh(_PAD_A0)
+_K4 = 1.0          # round(_PAD_A0 * 7)
+_K8 = 18.0         # round(_PAD_A0 * 127)
+
+_GRAD_MODE_DEFAULT = "i4"
+
+
+class _PhasesT:
+    """One image's staggered epilogue, feature-major layout."""
+
+    def __init__(self, r, aq8, aq4, acc, h1sc_ref, b1c_ref, wht_ref,
+                 whtT_ref, bhtc_ref, yt_ref, xT_ref, w1a_ref, s4c_ref, w4s,
+                 i4, grad_mode):
+        self.r = r
+        self.aq8 = aq8                  # (Hp, Pt) int8 (i4fwd: 4-bit values)
+        self.aq4 = aq4                                  # (Hp, Pt) i4 | None
+        self.acc = acc                                  # (Hp, Pt) int32
+        self.h1sc_ref = h1sc_ref        # (Hp, 1) fwd-GEMM dequant scales
+        self.b1c_ref = b1c_ref
+        self.wht_ref = wht_ref
+        self.whtT_ref = whtT_ref
+        self.bhtc_ref = bhtc_ref
+        self.yt_ref = yt_ref
+        self.xT_ref = xT_ref
+        self.w1a_ref = w1a_ref          # int8 W1 (i8 mode da0 operand)
+        self.s4c_ref = s4c_ref          # (Hp, 1) per-row w1 int4 scales
+        self.w4s = w4s                  # int4 W1 scratch (i4 mode)
+        self.i4 = i4
+        self.grad_mode = grad_mode
+
+    def p1_h1a1(self):                                       # VPU
+        h1 = (self.acc.astype(jnp.float32) * self.h1sc_ref[:, 0:1]
+              + self.b1c_ref[:, 0:1])
+        self.a1c = jnp.tanh(h1).astype(self.wht_ref.dtype)   # (Hp, Pt)
+
+    def p2_head(self):                                       # MXU
+        z2 = jax.lax.dot_general(                            # (No, Pt)
+            self.wht_ref[:, :], self.a1c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        self.z2 = z2 + self.bhtc_ref[:, 0:1].astype(jnp.float32)
+
+    def p3_bce(self):                                        # VPU (tiny)
+        sig = jax.nn.sigmoid(self.z2)
+        yt = self.yt_ref[self.r].astype(jnp.float32)         # (No, Pt)
+        # torch BCE clamps each log term at -100 (train_mnist.py:81)
+        log_s = jnp.maximum(jnp.log(sig), -100.0)
+        log_1ms = jnp.maximum(jnp.log1p(-sig), -100.0)
+        self.bce = -jnp.sum(yt * log_s + (1.0 - yt) * log_1ms)
+        dz2 = jnp.where(sig * (1.0 - sig) == 0.0, 0.0, sig - yt)
+        self.dz2 = dz2
+        self.dz2c = dz2.astype(self.wht_ref.dtype)
+
+    def p4_headbwd(self):                                    # MXU
+        self.dwht = jax.lax.dot_general(                     # (No, Hp)
+            self.dz2c, self.a1c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        self.da1 = jax.lax.dot_general(                      # (Hp, Pt)
+            self.whtT_ref[:, :], self.dz2c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    def p5_dh1(self):                                        # VPU
+        self.dbht = jnp.sum(self.dz2, axis=1, keepdims=True)
+        one = jnp.bfloat16(1.0)
+        dh1 = self.da1 * (one - self.a1c * self.a1c)         # (Hp, Pt) bf16
+        # reduce sublanes in bf16, then lanes in f32 (bf16 all-axis max
+        # lowers through an illegal sub-32-bit scalar squeeze)
+        m1 = jnp.max(jnp.abs(dh1), axis=0, keepdims=True)    # (1, Pt) bf16
+        maxv = jnp.max(m1.astype(jnp.float32), axis=1,
+                       keepdims=True) + 1e-30                # (1, 1) f32
+        if self.grad_mode != "i8":
+            qs_b = (7.0 / maxv).astype(jnp.bfloat16)
+            self.sg = 1.0 / qs_b.astype(jnp.float32)
+            q = (dh1 * qs_b).astype(jnp.float32)             # f32 round pass
+            q4i8 = jnp.clip(jnp.round(q), -7, 7).astype(jnp.int8)
+            self.dh1q = q4i8.astype(self.i4)                 # (Hp, Pt)
+            self.dw1_s = self.sg * (1.0 / 7.0)
+        else:
+            qs_b = (127.0 / maxv).astype(jnp.bfloat16)
+            self.sg = 1.0 / qs_b.astype(jnp.float32)
+            q = (dh1 * qs_b).astype(jnp.float32)
+            self.dh1q = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+            self.dw1_s = self.sg * (1.0 / 127.0)
+        self.dscale = self.sg * self.s4c_ref[:, 0:1]         # (Hp, 1)
+
+    def p6_gemms(self):                                      # MXU
+        aop = self.aq4 if self.grad_mode != "i8" else self.aq8
+        # rows 0:H = dW1, row H = db1 (engineered constant activation row)
+        self.dw1x = jax.lax.dot_general(                     # (Hp, Hp)
+            aop, self.dh1q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * self.dw1_s
+        wk = self.w1a_ref if self.grad_mode == "i8" else self.w4s
+        self.da0 = jax.lax.dot_general(                      # (Hp, Pt)
+            wk[:, :], self.dh1q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    def p7_dh0(self):                                        # VPU, bf16
+        # i4fwd keeps only the 4-bit activation copy; tanh' from 4-bit a0
+        # adds error to the dfold path only (same class as the dh1 noise)
+        inv = 1.0 / 7.0 if self.grad_mode == "i4fwd" else 1.0 / 127.0
+        a0d = self.aq8.astype(jnp.bfloat16) * jnp.bfloat16(inv)
+        da0 = self.da0.astype(jnp.bfloat16)
+        self.dh0 = da0 * (jnp.bfloat16(1.0) - a0d * a0d)
+
+    def p8_dfold(self):                                      # MXU + tiny VPU
+        dfold = jax.lax.dot_general(                         # (Hp, 4)
+            self.dh0, self.xT_ref[:, :].astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dfold = dfold * self.dscale                          # deferred scale
+        # stash the per-image BCE at [0, 3]: column 3 multiplies the
+        # fold's zeros column, so its cotangent is discarded by autodiff
+        row = jax.lax.broadcasted_iota(jnp.int32, dfold.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, dfold.shape, 1)
+        self.dfold = dfold + jnp.where((row == 0) & (col == 3),
+                                       self.bce, 0.0)
+
+
+def _kernel_t(xT_ref, fT_ref, w1qT_ref, h1sc_ref, w1a_ref, s4c_ref, b1c_ref,
+              wht_ref, whtT_ref, bhtc_ref, yt_ref, dfT_ref, dw1x_ref,
+              dwht_ref, dbht_ref, w4s, w4fs, *, i4, grad_mode, n_img):
+    """Grid (B//n_img, tiles); everything feature-major (see module doc)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    if grad_mode != "i8":
+        @pl.when(jnp.logical_and(i == 0, j == 0))
+        def _():
+            w4s[:, :] = w1a_ref[:, :].astype(i4)
+            if grad_mode == "i4fwd":
+                w4fs[:, :] = w1qT_ref[:, :].astype(i4)
+
+    def build(r):
+        x0 = xT_ref[0:1, :]                                  # (1, Pt)
+        x1 = xT_ref[1:2, :]
+        f = fT_ref[r]                                        # (Hp, 4)
+        h0 = f[:, 0:1] * x0 + f[:, 1:2] * x1 + f[:, 2:3]     # (Hp, Pt)
+        a0 = jnp.tanh(h0)
+        if grad_mode == "i4fwd":
+            # single 4-bit activation: fwd GEMM, dw1 AND tanh' all consume
+            # the int4 quantisation — one build pass instead of two
+            aq8 = jnp.clip(jnp.round(a0 * 7.0), -7, 7).astype(jnp.int8)
+            aq4 = aq8.astype(i4)
+            acc = jax.lax.dot_general(                       # int4 x int4
+                w4fs[:, :], aq4, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return aq8, aq4, acc
+        aq8 = jnp.round(a0 * 127.0).astype(jnp.int8)
+        aq4 = None
+        if grad_mode == "i4":
+            aq4 = jnp.clip(jnp.round(a0 * 7.0), -7, 7).astype(i4)
+        acc = jax.lax.dot_general(                           # (Hp, Pt) i32
+            w1qT_ref[:, :], aq8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return aq8, aq4, acc
+
+    built = [build(r) for r in range(n_img)]
+    ss = [
+        _PhasesT(r, aq8, aq4, acc, h1sc_ref, b1c_ref, wht_ref, whtT_ref,
+                 bhtc_ref, yt_ref, xT_ref, w1a_ref, s4c_ref, w4s, i4,
+                 grad_mode)
+        for r, (aq8, aq4, acc) in enumerate(built)
+    ]
+    seq = ("p1_h1a1", "p2_head", "p3_bce", "p4_headbwd", "p5_dh1",
+           "p6_gemms", "p7_dh0", "p8_dfold")
+    for t in range(len(seq) + n_img - 1):
+        for r in range(n_img):
+            k = t - r
+            if 0 <= k < len(seq):
+                getattr(ss[r], seq[k])()
+
+    df_grp = jnp.stack([s.dfold for s in ss])                # (n_img, Hp, 4)
+    dw1x = sum(s.dw1x for s in ss[1:]) + ss[0].dw1x
+    dwht = sum(s.dwht for s in ss[1:]) + ss[0].dwht
+    dbht = sum(s.dbht for s in ss[1:]) + ss[0].dbht
+
+    first = jnp.logical_and(i == 0, j == 0)
+
+    @pl.when(j == 0)
+    def _():
+        dfT_ref[:, :, :] = df_grp
+
+    @pl.when(j != 0)
+    def _():
+        dfT_ref[:, :, :] += df_grp
+
+    @pl.when(first)
+    def _():
+        dw1x_ref[:, :] = dw1x
+        dwht_ref[:, :] = dwht
+        dbht_ref[:, :] = dbht
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw1x_ref[:, :] += dw1x
+        dwht_ref[:, :] += dwht
+        dbht_ref[:, :] += dbht
+
+
+def _lossgrad_pallas_t(foldT, coords, w1, b1, wht, bht, y_t,
+                       interpret: bool = False):
+    """foldT: (B, H, 4) cols [w0, w1, c, 0]; returns
+    (dfoldT (B,H,4) with per-image BCE at [:,0,3], dw1, db1, dwht, dbht)."""
+    b, h, _ = foldT.shape
+    hw = coords.shape[0]
+    n_out = wht.shape[0]
+    pt = _pick_tile(hw)
+    tiles = hw // pt
+    # pad the feature dim to an int8-tile multiple (32 sublanes): a
+    # non-multiple sublane extent forces masked partial tiles / relayouts
+    # on every feature-major op; +1 guarantees room for the db1 row
+    hp = ((h + 1 + 31) // 32) * 32
+    assert b % 2 == 0, "fused loss kernel processes even batches"
+    n_img = int(os.environ.get("SPATIALVAE_PIPE_IMGS", _PIPE_IMGS_DEFAULT))
+    while b % n_img:
+        n_img //= 2
+
+    grad_mode = os.environ.get("SPATIALVAE_INT4_GRADS_T", _GRAD_MODE_DEFAULT)
+    use_i4 = not interpret and jax.default_backend() == "tpu"
+    i4 = jnp.int4 if use_i4 else jnp.int8
+
+    f32 = jnp.float32
+    # quantised weights, padded to Hp with zeros (pad rows/cols contribute
+    # nothing to fwd/da0 and zero out pad-row gradients)
+    ph = hp - h
+    if grad_mode == "i4fwd":
+        # fwd GEMM in int4: per-column (fan-out) W scales ride as a
+        # per-row dequant column on h1T
+        wf4, sf4 = _quant_sym4(w1.T)
+        w1qT_p = jnp.pad(wf4, ((0, ph), (0, ph)))
+        h1sc = jnp.pad(sf4.reshape(-1, 1) * (1.0 / 7.0), ((0, ph), (0, 0)))
+    else:
+        w1q, sw = _quant_sym(w1)
+        w1qT_p = jnp.pad(w1q.T, ((0, ph), (0, ph)))
+        swv = sw[0, 0] if sw.ndim == 2 else sw.reshape(())
+        h1sc = jnp.full((hp, 1), swv * (1.0 / 127.0), f32)
+    if grad_mode != "i8":
+        w1q4, s4 = _quant_sym4(w1)
+        w1a_p = jnp.pad(w1q4, ((0, ph), (0, ph)))
+        s4c = jnp.pad(s4.reshape(-1, 1), ((0, ph), (0, 0)))         # (Hp, 1)
+    else:
+        w1a_p = jnp.pad(w1q, ((0, ph), (0, ph)))
+        s4c = jnp.full((hp, 1), swv, f32)
+    b1c = jnp.pad(b1.reshape(-1, 1).astype(f32), ((0, ph), (0, 0)))
+    wht_p = jnp.pad(wht, ((0, 0), (0, ph)))
+    whtT_p = wht_p.T
+    bhtc = bht.reshape(-1, 1)
+
+    # fold padded with the engineered constant rows: h0 = atanh(1/7) there
+    pad_rows = jnp.zeros((b, ph, 4), foldT.dtype).at[:, :, 2].set(
+        jnp.asarray(_PAD_H0, foldT.dtype))
+    foldT_p = jnp.concatenate([foldT.astype(f32),
+                               pad_rows.astype(f32)], axis=1)
+
+    # feature-major coords: rows [x0, x1, 1, 0]
+    xT = jnp.concatenate(
+        [coords.astype(f32).T,
+         jnp.ones((1, hw), f32),
+         jnp.zeros((1, hw), f32)], axis=0)
+
+    vm = pltpu.VMEM
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, hp, 4), f32),      # dfoldT (+bce stash)
+        jax.ShapeDtypeStruct((hp, hp), f32),        # dW1 (+db1 at row h)
+        jax.ShapeDtypeStruct((n_out, hp), f32),     # dWh^T
+        jax.ShapeDtypeStruct((n_out, 1), f32),      # dbh
+    )
+    out_specs = (
+        pl.BlockSpec((n_img, hp, 4), lambda i, j: (i, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((hp, hp), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((n_out, hp), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
+    )
+    dfT, dw1x, dwht_p, dbht = pl.pallas_call(
+        functools.partial(_kernel_t, i4=i4, grad_mode=grad_mode,
+                          n_img=n_img),
+        grid=(b // n_img, tiles),
+        in_specs=[
+            pl.BlockSpec((4, pt), lambda i, j: (0, j), memory_space=vm),
+            pl.BlockSpec((n_img, hp, 4), lambda i, j: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((hp, hp), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((hp, 1), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((hp, hp), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((hp, 1), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((hp, 1), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((n_out, hp), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((hp, n_out), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
+            pl.BlockSpec((n_img, n_out, pt), lambda i, j: (i, 0, j),
+                         memory_space=vm),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((hp, hp), i4),
+                        pltpu.VMEM((hp, hp), i4)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(40 if n_img <= 2 else
+                              (80 if pt <= 1024 else 112)) * 1024 * 1024),
+        interpret=interpret,
+    )(xT, foldT_p, w1qT_p, h1sc, w1a_p, s4c, b1c, wht_p, whtT_p, bhtc, y_t)
+
+    # db1 rode along as row h of the dw1 GEMM (constant-activation row);
+    # undo the dw1 dequant factor it picked up in-kernel
+    k = _K8 if grad_mode == "i8" else _K4
+    db1 = dw1x[h, :h] * (127.0 / k if grad_mode == "i8" else 7.0 / k)
+    return (dfT[:, :h, :], dw1x[:h, :h], db1[None, :],
+            dwht_p[:, :h], dbht)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp op (mirrors fused_loss_int8: grads precomputed in the forward)
+# ---------------------------------------------------------------------------
+
+
+def _run_t(foldT, coords, w1, b1, wht, bht, y_t, interpret):
+    dfoldT, dw1, db1, dwht, dbht = _lossgrad_pallas_t(
+        foldT, coords, w1, b1, wht, bht, y_t, interpret=interpret)
+    # per-image BCE rides at dfoldT[:, 0, 3] — column 3 multiplies the
+    # fold's zeros column, so leaving it in the cotangent is harmless
+    return jnp.sum(dfoldT[:, 0, 3]), (dfoldT, dw1, db1, dwht, dbht)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_decoder_bce_int8_t(foldT, coords, w1, b1, wht, bht, y_t,
+                             interpret: bool = False):
+    """Summed Bernoulli BCE of the int8 decoder, feature-major layout.
+
+    foldT: (B, H, 4) cols [w0, w1, c, 0]; coords: (HW, 2) tile-aligned;
+    w1: (H, H); b1: (H,); wht: (n_out, H); bht: (n_out,);
+    y_t: (B, n_out, HW) targets.  Gradients are computed inside the same
+    kernel pass; the VJP scales them by the scalar cotangent.
+    """
+    bce, _ = _run_t(foldT, coords, w1, b1, wht, bht, y_t, interpret)
+    return bce
+
+
+def _vjp_fwd_t(foldT, coords, w1, b1, wht, bht, y_t, interpret):
+    bce, grads = _run_t(foldT, coords, w1, b1, wht, bht, y_t, interpret)
+    sentinels = (jnp.zeros((0,), foldT.dtype), jnp.zeros((0,), w1.dtype),
+                 jnp.zeros((0,), b1.dtype), jnp.zeros((0,), wht.dtype))
+    return bce, (grads, sentinels)
+
+
+def _vjp_bwd_t(interpret, res, g):
+    (dfoldT, dw1, db1, dwht, dbht), (f_s, w_s, b_s, h_s) = res
+    return ((g * dfoldT).astype(f_s.dtype), None,
+            (g * dw1).astype(w_s.dtype), (g * db1[0]).astype(b_s.dtype),
+            (g * dwht).astype(h_s.dtype), (g * dbht[:, 0]).astype(h_s.dtype),
+            None)
+
+
+fused_decoder_bce_int8_t.defvjp(_vjp_fwd_t, _vjp_bwd_t)
+
+
+def fused_bce_spatial_int8_t(params, cfg: SpatialGeneratorConfig,
+                             coords, theta, dx, z, y, y_t=None,
+                             interpret: bool = False):
+    """Feature-major twin of fused_bce_spatial_int8 (same contract)."""
+    from spatialvae_tpu.models.spatial import fold_pose_into_first_layer
+
+    w0, w1f, c = fold_pose_into_first_layer(params, cfg, theta, dx, z)
+    foldT = jnp.stack([w0, w1f, c, jnp.zeros_like(c)], axis=2)  # (B, H, 4)
+    hidden = params["layers"][0]
+    head = params["layers"][1]
+    hw = coords.shape[0]
+    if y_t is None:
+        b = y.shape[0]
+        y_t = y.reshape(b, hw, -1).swapaxes(1, 2)
+    return fused_decoder_bce_int8_t(foldT, coords, hidden["w"], hidden["b"],
+                                    head["w"].T, head["b"], y_t, interpret)

@@ -168,11 +168,21 @@ def elbo_minibatch(
     # gradients (kernels/fused_loss_int8.py); the decode never materialises
     if (not want_y_hat and ctf is None
             and fused_loss_active(ecfg, p_cfg, coords.shape[0], b)):
-        from spatialvae_tpu.kernels.fused_loss_int8 import (
-            fused_bce_spatial_int8,
-        )
-        bce = fused_bce_spatial_int8(p_params, p_cfg, coords, theta, dx,
-                                     z, y, y_t=y_t)
+        import os
+        if os.environ.get("SPATIALVAE_LOSS_LAYOUT", "row") == "t":
+            # feature-major experiment (kernels/fused_loss_int8_t.py): its
+            # int4-legal gradient GEMMs save ~10 ms of MXU floor but the
+            # layout costs ~16 ms of VPU relayouts — measured SLOWER than
+            # the row kernel (59.2 vs 48.4 ms at B=2048); kept for re-
+            # testing against future Mosaic releases
+            from spatialvae_tpu.kernels.fused_loss_int8_t import (
+                fused_bce_spatial_int8_t as fused_bce,
+            )
+        else:
+            from spatialvae_tpu.kernels.fused_loss_int8 import (
+                fused_bce_spatial_int8 as fused_bce,
+            )
+        bce = fused_bce(p_params, p_cfg, coords, theta, dx, z, y, y_t=y_t)
         log_p = -bce / b
         z_kl = -z_logstd + 0.5 * z_std ** 2 + 0.5 * z_mu ** 2 - 0.5
         kl_div = jnp.mean(kl_div + jnp.sum(z_kl, axis=1))

@@ -646,20 +646,32 @@ def main():
     # ---- fused loss+grad kernel (kernels/fused_loss_int8.py) -------------
     # honours SPATIALVAE_INT4_GRADS / SPATIALVAE_MXU_BUILD for A/B runs
     if want("fused-loss"):
-        from spatialvae_tpu.kernels.fused_loss_int8 import (
-            _lossgrad_pallas,
-            _quant_sym4,
-        )
+        from spatialvae_tpu.kernels.fused_loss_int8 import _lossgrad_pallas
 
         y_t = jax.random.uniform(ks[7], (B, NO, HW), jnp.float32)
-        w1q4, sw4 = _quant_sym4(w1)
 
         def flg(f, x):
-            outs = _lossgrad_pallas(f, x, w1q, sw, w1q4, sw4, b1[None, :],
+            outs = _lossgrad_pallas(f, x, w1, b1[None, :],
                                     wht, bht[:, None], y_t)
             return outs[1]
 
         scan_time("fused-loss", flg, (fold, coords), iters)
+
+    # ---- transposed (feature-major) fused loss+grad kernel ----------------
+    # honours SPATIALVAE_INT4_GRADS_T / SPATIALVAE_PIPE_IMGS
+    if want("fused-t"):
+        from spatialvae_tpu.kernels.fused_loss_int8_t import (
+            _lossgrad_pallas_t,
+        )
+
+        y_tt = jax.random.uniform(ks[7], (B, NO, HW), jnp.float32)
+        foldT = jnp.swapaxes(fold, 1, 2)[:, :, :4]          # (B, H, 4)
+
+        def flt(f, x):
+            outs = _lossgrad_pallas_t(f, x, w1, b1, wht, bht[:], y_tt)
+            return outs[1]
+
+        scan_time("fused-t", flt, (foldT, coords), iters)
 
     if not (want("bwd")):
         return

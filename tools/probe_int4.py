@@ -111,6 +111,84 @@ def main():
     scan_time("gemm-int4", make(jnp.int4), (a4in8, w4in8), iters)
     scan_time("gemm-i4w", make(None), (a4in8, w4in8), iters)
 
+    # ---- transposed-layout (feature-major) candidates ---------------------
+    # aT/gT: (H, Pt) activation/gradient tiles; w: (H, H).
+    # dw1  = dot(aT, gT, (1,1))   -> (H, H)   [today's (0,0), int4-illegal]
+    # da0T = dot(w,  gT, (1,0))   -> (H, Pt)
+    # fwdT = dot(wT, aT, (1,0))   -> (H, Pt)
+    aT4 = jnp.clip(jnp.round(
+        jax.random.normal(ks[0], (H, pt)) * 3), -7, 7).astype(jnp.int8)
+    gT4 = jnp.clip(jnp.round(
+        jax.random.normal(ks[1], (H, pt)) * 3), -7, 7).astype(jnp.int8)
+    aT8 = jnp.clip(jnp.round(
+        jax.random.normal(ks[2], (H, pt)) * 60), -127, 127).astype(jnp.int8)
+
+    def maket(dims, out_shape, cast_to=None):
+        def kern(a_ref, b_ref, out_ref):
+            a = a_ref[:, :]
+            bb = b_ref[:, :]
+            if cast_to is not None:
+                a = a.astype(cast_to)
+                bb = bb.astype(cast_to)
+            acc = jax.lax.dot_general(
+                a, bb, (dims, ((), ())),
+                preferred_element_type=jnp.int32)
+            out_ref[:, :] = acc[0:8, :out_shape[1]].astype(jnp.float32)
+
+        def fn(a, bb):
+            sa, sb = a.shape, bb.shape
+            return pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[pl.BlockSpec(sa, lambda i, j: (0, 0),
+                                       memory_space=vm),
+                          pl.BlockSpec(sb, lambda i, j: (0, 0),
+                                       memory_space=vm)],
+                out_specs=pl.BlockSpec((8, out_shape[1]),
+                                       lambda i, j: (0, 0),
+                                       memory_space=vm),
+                out_shape=jax.ShapeDtypeStruct((8, out_shape[1]),
+                                               jnp.float32),
+            )(a, bb)
+
+        return fn
+
+    scan_time("dw1T-i4(1,1)", maket(((1,), (1,)), (H, H), jnp.int4),
+              (aT4, gT4), iters)
+    scan_time("da0T-i4(1,0)", maket(((1,), (0,)), (H, pt), jnp.int4),
+              (w4in8, gT4), iters)
+    scan_time("fwdT-i8(1,0)", maket(((1,), (0,)), (H, pt)),
+              (w8, aT8), iters)
+    scan_time("fwdT-i4(1,0)", maket(((1,), (0,)), (H, pt), jnp.int4),
+              (w4in8, aT4), iters)
+
+    # ---- transposed first-layer build: (H,1) x (1,Pt) broadcasts ----------
+    def buildT_kernel(xT_ref, fT_ref, out_ref):
+        x0 = xT_ref[0:1, :]                        # (1, Pt)
+        x1 = xT_ref[1:2, :]
+        h0 = (fT_ref[0, :, 0:1] * x0 + fT_ref[0, :, 1:2] * x1
+              + fT_ref[0, :, 2:3])                 # (H, Pt)
+        a0 = jnp.tanh(h0)
+        aq = jnp.round(a0 * 127.0).astype(jnp.int8)
+        out_ref[:, :] = jnp.sum(aq.astype(jnp.int32), axis=0,
+                                keepdims=True)     # consume fully (no DCE)
+
+    xT = jax.random.normal(ks[3], (4, HW), jnp.float32)
+    foldT = jax.random.normal(ks[0], (B, H, 4), jnp.float32)
+
+    def buildT(xt, ft):
+        return pl.pallas_call(
+            buildT_kernel, grid=grid,
+            in_specs=[pl.BlockSpec((4, pt), lambda i, j: (0, j),
+                                   memory_space=vm),
+                      pl.BlockSpec((1, H, 4), lambda i, j: (i, 0, 0),
+                                   memory_space=vm)],
+            out_specs=pl.BlockSpec((1, pt), lambda i, j: (0, 0),
+                                   memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((1, pt), jnp.int32),
+        )(xt, ft)
+
+    scan_time("buildT-vpu", buildT, (xT, foldT), iters)
+
     # int4 RHS only (weights narrow, activations int8)
     def kern_wi4(a_ref, w_ref, out_ref):
         acc = jax.lax.dot_general(
