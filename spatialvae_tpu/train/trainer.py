@@ -60,8 +60,13 @@ class TrainConfig:
 
 
 class TrainState(NamedTuple):
-    params: dict           # {'q': ..., 'p': ...}
+    params: dict           # {'q': ..., 'p': ...} (f32 masters)
     opt_state: object
+    # compute-dtype copy of params emitted by the Pallas Adam pass (TPU
+    # bf16 hot path only): the loss differentiates THIS tree, so the
+    # per-step f32->bf16 cast and the f32 gradient materialisation both
+    # disappear.  None outside the shadow path.
+    shadow: Optional[dict] = None
 
 
 def _cast_tree(tree, dtype):
@@ -95,7 +100,18 @@ class Trainer:
 
         from spatialvae_tpu.train.optimizer import fused_adam
 
-        self.optimizer = fused_adam(tcfg.learning_rate)
+        if jax.default_backend() == "tpu" and mesh is None:
+            # single Pallas pass per big leaf for update+apply (the HBM
+            # floor); identical numerics to fused_adam — see
+            # train/optimizer_pallas.py.  Mesh runs keep the XLA path
+            # (pallas_call can't be GSPMD-partitioned; the shard_map SPMD
+            # step has its own update site).
+            from spatialvae_tpu.train.optimizer_pallas import (
+                fused_adam_pallas,
+            )
+            self.optimizer = fused_adam_pallas(tcfg.learning_rate)
+        else:
+            self.optimizer = fused_adam(tcfg.learning_rate)
         params = {"q": q_params, "p": p_params}
         if mesh is not None:
             # multi-chip: TP-shard the q first layer, replicate the rest,
@@ -172,6 +188,12 @@ class Trainer:
                       and self.mesh.shape.get("model", 1) == 1
                       and self.ecfg.fused)
 
+        # bf16 shadow-params fast path (see TrainState.shadow): only where
+        # the Pallas update+apply optimizer is active and compute is bf16
+        self._use_shadow = (hasattr(self.optimizer, "update_apply")
+                            and self._compute_dtype == jnp.bfloat16
+                            and self.mesh is None)
+
         # evaluation and display run through plain jit (GSPMD under a mesh),
         # where a pallas_call cannot be partitioned — use the XLA decoder
         import dataclasses
@@ -208,13 +230,28 @@ class Trainer:
                 out_shardings=NamedSharding(self.mesh, PartitionSpec()))
         else:
             def train_step(state, y, ctf, key, z_scale, y_t=None):
+                if state.shadow is not None:
+                    # bf16 shadow path: the loss differentiates the
+                    # compute-dtype copy the previous Adam pass emitted —
+                    # no per-step f32->bf16 cast, bf16 gradients, and the
+                    # next shadow rides out of the same Adam kernel
+                    (_, aux), grads = grad_fn(state.shadow, y, ctf, key,
+                                              z_scale, y_t=y_t)
+                    params, opt_state, shadow = self.optimizer.update_apply(
+                        grads, state.opt_state, state.params,
+                        shadow_dtype=self._compute_dtype)
+                    return TrainState(params, opt_state, shadow), aux
                 (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale,
                                           y_t=y_t)
                 # fused_adam upcasts mixed-precision grads inside its single
                 # elementwise pass — no materialised f32 gradient copy
-                updates, opt_state = self.optimizer.update(
-                    grads, state.opt_state, state.params)
-                params = optax.apply_updates(state.params, updates)
+                if hasattr(self.optimizer, "update_apply"):
+                    params, opt_state = self.optimizer.update_apply(
+                        grads, state.opt_state, state.params)
+                else:
+                    updates, opt_state = self.optimizer.update(
+                        grads, state.opt_state, state.params)
+                    params = optax.apply_updates(state.params, updates)
                 return TrainState(params, opt_state), aux
 
         def eval_step(params, y, ctf, key, z_scale, y_t=None):
@@ -323,6 +360,11 @@ class Trainer:
         full_idx, tail_idx, num_full, tail = self._index_batches(n, perm)
 
         state = self.state
+        if self._use_shadow and state.shadow is None:
+            # seed the bf16 shadow once (after init or resume); subsequent
+            # steps carry it forward out of the Adam kernel
+            state = state._replace(
+                shadow=_cast_tree(state.params, self._compute_dtype))
         metrics = None
         tail_metrics = None
         if getattr(dataset, "host_resident", False):

@@ -95,10 +95,22 @@ def main():
         by_op[name] += dur
         total += dur
 
+    # remember one long_name per op for provenance of the anonymous fusions
+    long_names = {}
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") != "X":
+            continue
+        args = ev.get("args") or {}
+        ln = args.get("long_name")
+        if ln and ev.get("name") not in long_names:
+            long_names[ev["name"]] = ln
+
     print(f"# total device time {total / 1e3:.1f} ms over {steps} steps "
           f"({total / 1e3 / steps:.2f} ms/step)")
     for name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{dur / 1e3 / steps:8.3f} ms/step  {name[:100]}")
+        ln = long_names.get(name, "")
+        print(f"{dur / 1e3 / steps:8.3f} ms/step  {name[:60]}"
+              f"  {ln[:160]}")
 
 
 if __name__ == "__main__":
