@@ -82,7 +82,9 @@ def main():
     from spatialvae_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    batch = 2048
+    # B=4096 amortises the fixed per-step cost (Adam + encoder tails) over
+    # twice the images: 33.2k vs 32.3k img/s at B=2048 (BASELINE.md table)
+    batch = 4096
     fused = jax.default_backend() == "tpu"
     compare = False
     # int8 decoder GEMMs by default: validated to track the bf16 ELBO

@@ -139,6 +139,9 @@ class _Phases:
         self.aq_inv = 1.0 / 7.0 if grad_mode == "i4fwd" else 1.0 / 127.0
 
     def p1_h1a1(self):                                       # VPU
+        # MEASURED: doing this dequant+tanh in bf16 (int32->bf16 cast, bf16
+        # FMA/tanh) was SLOWER (51.2 vs 48.3 ms) — Mosaic's bf16 elementwise
+        # repacking costs more than f32's wider passes; keep f32
         h1 = (self.acc.astype(jnp.float32) * self.h1s_ref[0:1, :]
               + self.b1_ref[0:1, :])
         self.a1c = jnp.tanh(h1).astype(self.wht_ref.dtype)   # (Pt, H)
@@ -288,6 +291,8 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
                 x3_ref[:, :], f_ref[r], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         else:
+            # MEASURED: a bf16 build (bf16 broadcasts + tanh) was SLOWER
+            # (52.8 vs 48.3 ms) — same bf16-elementwise finding as p1
             x0 = x3_ref[:, 0:1].astype(jnp.float32)
             x1 = x3_ref[:, 1:2].astype(jnp.float32)
             h0 = (x0 * f_ref[r, 0:1, :] + x1 * f_ref[r, 1:2, :]

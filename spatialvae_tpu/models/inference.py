@@ -28,11 +28,44 @@ def inference_init(key: jax.Array, cfg: InferenceConfig, dtype=None):
     return {"layers": mlp_init(key, dims, resid_hidden=cfg.resid, dtype=dtype)}
 
 
-def inference_apply(params, cfg: InferenceConfig, y: jax.Array
-                    ) -> Tuple[jax.Array, jax.Array]:
-    """y: (B, n) -> (z_mu, z_logstd), each (B, latent_dim)."""
+def inference_apply(params, cfg: InferenceConfig, y: jax.Array,
+                    qw=None, y_q8=None) -> Tuple[jax.Array, jax.Array]:
+    """y: (B, n) -> (z_mu, z_logstd), each (B, latent_dim).
+
+    ``qw``: optional list aligned with params["layers"] of
+    {"q": int8 weight copy, "s": (1,1) scale} dicts (empty "q" = keep
+    that layer full-precision).  Provided by the trainer's int8 hot path,
+    where the Adam pass emits the copies (train/optimizer_pallas.py) —
+    the big hidden GEMMs then run on the int8 MXU with no weight-
+    quantisation pass (nn/qlinear.py::qlinear_pre).
+
+    ``y_q8``: optional (xq (B, n) int8, sx (1,1)) — the input batch
+    prequantized (training images are constant data, quantized once per
+    dataset); requires qw[0] present.  ``y`` is then ignored for layer 0
+    (XLA dead-code-eliminates its gather upstream)."""
     act = resolve_activation(cfg.activation)
-    z = mlp_apply(params["layers"], y, act, resid_hidden=cfg.resid)
+    if qw is not None and any(e["q"].size for e in qw):
+        from spatialvae_tpu.nn.layers import linear_apply
+        from spatialvae_tpu.nn.qlinear import qlinear_pre, qlinear_pre_xq
+
+        layers = params["layers"]
+        x = y
+        for i, p in enumerate(layers[:-1]):
+            e = qw[i] if i < len(qw) else None
+            if i == 0 and y_q8 is not None and e is not None \
+                    and e["q"].size:
+                h = qlinear_pre_xq(y_q8[0], y_q8[1], p["w"], p["b"],
+                                   e["q"], e["s"])
+            elif e is not None and e["q"].size:
+                h = qlinear_pre(x, p["w"], p["b"], e["q"], e["s"])
+            else:
+                h = linear_apply(p, x)
+            if cfg.resid and i > 0:
+                h = h + x
+            x = act(h)
+        z = linear_apply(layers[-1], x)
+    else:
+        z = mlp_apply(params["layers"], y, act, resid_hidden=cfg.resid)
     ld = cfg.latent_dim
     return z[:, :ld], z[:, ld:]
 

@@ -59,3 +59,83 @@ def _bwd(res, g):
 
 
 qlinear.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# prequantized-weight variant: the int8 weight copy is produced upstream
+# (fused into the Adam update, train/optimizer_pallas.py), so neither the
+# forward nor the backward spends a quantisation pass on the weight — the
+# cost that made the naive int8 encoder a net loss in round 1.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def qlinear_pre(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                wq: jnp.ndarray, sw: jnp.ndarray) -> jnp.ndarray:
+    """x @ w + b on the int8 MXU using the PREQUANTIZED (wq, sw).
+
+    ``w`` participates only in autodiff wiring (its cotangent is the int8
+    dW); the forward consumes wq/sw, which are treated as data."""
+    del w
+    xq, sx = _q(x)
+    out = _dot8(xq, wq, (((1,), (0,)), ((), ()))) * (sx * sw[0, 0])
+    return (out + b).astype(x.dtype)
+
+
+def _pre_fwd(x, w, b, wq, sw):
+    xq, sx = _q(x)
+    out = _dot8(xq, wq, (((1,), (0,)), ((), ()))) * (sx * sw[0, 0])
+    return ((out + b).astype(x.dtype),
+            (xq, sx, wq, sw, jnp.zeros((0,), x.dtype),
+             jnp.zeros((0,), w.dtype)))
+
+
+def _pre_bwd(res, g):
+    xq, sx, wq, sw, x_s, w_s = res
+    gq, sg = _q(g)
+    dx = _dot8(gq, wq, (((1,), (1,)), ((), ()))) * (sg * sw[0, 0])
+    dw = _dot8(xq, gq, (((0,), (0,)), ((), ()))) * (sx * sg)
+    db = jnp.sum(g.astype(jnp.float32), axis=0)
+    return (dx.astype(x_s.dtype), dw.astype(w_s.dtype),
+            db.astype(w_s.dtype), None, None)
+
+
+qlinear_pre.defvjp(_pre_fwd, _pre_bwd)
+
+
+# ---------------------------------------------------------------------------
+# both sides prequantized: the input is CONSTANT DATA quantized once per
+# dataset (the training images), so the per-step activation-quantisation
+# pass over (B, n) disappears too, and no input cotangent exists.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def qlinear_pre_xq(xq: jnp.ndarray, sx: jnp.ndarray, w: jnp.ndarray,
+                   b: jnp.ndarray, wq: jnp.ndarray,
+                   sw: jnp.ndarray) -> jnp.ndarray:
+    """(xq*sx) @ w + b on the int8 MXU, both operands prequantized.
+
+    xq: (B, In) int8 data; sx/sw: (1, 1) scales; ``w`` is autodiff wiring
+    only (dW attaches to it)."""
+    del w
+    out = _dot8(xq, wq, (((1,), (0,)), ((), ()))) * (sx[0, 0] * sw[0, 0])
+    return (out + b).astype(b.dtype)
+
+
+def _xq_fwd(xq, sx, w, b, wq, sw):
+    out = _dot8(xq, wq, (((1,), (0,)), ((), ()))) * (sx[0, 0] * sw[0, 0])
+    return ((out + b).astype(b.dtype),
+            (xq, sx, jnp.zeros((0,), w.dtype)))
+
+
+def _xq_bwd(res, g):
+    xq, sx, w_s = res
+    gq, sg = _q(g)
+    dw = _dot8(xq, gq, (((0,), (0,)), ((), ()))) * (sx[0, 0] * sg)
+    db = jnp.sum(g.astype(jnp.float32), axis=0)
+    return (None, None, dw.astype(w_s.dtype), db.astype(w_s.dtype),
+            None, None)
+
+
+qlinear_pre_xq.defvjp(_xq_fwd, _xq_bwd)

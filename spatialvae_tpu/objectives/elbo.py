@@ -109,6 +109,8 @@ def elbo_minibatch(
     image_shape: Optional[Tuple[int, int]] = None,  # (n, m) for CTF
     want_y_hat: bool = False,             # display paths need the decode
     y_t: Optional[jnp.ndarray] = None,    # (B, C, HW) pre-transposed targets
+    q_quant=None,                         # per-layer int8 encoder weights
+    y_q8=None,                            # (xq (B, n) int8, sx) data batch
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (elbo, log_p_x_g_z, kl_div, y_hat) — scalars except y_hat.
 
@@ -117,13 +119,16 @@ def elbo_minibatch(
     b = y.shape[0]
     if y_inf is None:
         y_inf = y
+    else:
+        y_q8 = None      # augmented view: prequantized data doesn't apply
 
     # ---- inference + reparameterised sample -------------------------------
-    # note: an int8 encoder (models.inference.inference_apply_q8) was
-    # measured SLOWER than bf16 here — the XLA-side quantisation passes over
-    # the 61M-param first layer outweigh the MXU savings — so the encoder
-    # stays bf16 even in int8 mode
-    z_mu, z_logstd = inference_apply(q_params, q_cfg, y_inf.reshape(b, -1))
+    # int8 encoder: quantising weights per call was measured SLOWER than
+    # bf16 (round 1) — but with PREQUANTIZED weights emitted by the Adam
+    # pass (q_quant, train/optimizer_pallas.py) the hidden GEMMs ride the
+    # int8 MXU with only activation-quantisation overhead
+    z_mu, z_logstd = inference_apply(q_params, q_cfg, y_inf.reshape(b, -1),
+                                     qw=q_quant, y_q8=y_q8)
     z_std = jnp.exp(z_logstd)
     r = noise if noise is not None else jax.random.normal(
         key, z_mu.shape, dtype=z_mu.dtype)

@@ -101,6 +101,21 @@ def _adam_leaf_pallas(g, m, v, p, c12, lr, b1, b2, eps, interpret,
     return out
 
 
+def quantize_leaf(p, on: bool):
+    """Per-tensor-symmetric int8 copy of p, or empty placeholders.
+
+    Placeholders keep the qshadow pytree structure identical across
+    leaves so it can ride a scan carry / donated TrainState."""
+    if on:
+        s = (jnp.max(jnp.abs(p.astype(jnp.float32))) / 127.0
+             + 1e-30).reshape(1, 1)
+        q = jnp.clip(jnp.round(p.astype(jnp.float32) / s), -127, 127
+                     ).astype(jnp.int8)
+        return {"q": q, "s": s}
+    return {"q": jnp.zeros((0, 0), jnp.int8),
+            "s": jnp.zeros((1, 1), jnp.float32)}
+
+
 class PallasAdam(NamedTuple):
     """optax-like triple plus a fused update+apply entry point."""
     init: object
@@ -116,10 +131,17 @@ def fused_adam_pallas(learning_rate: float, b1: float = 0.9,
     base = fused_adam(learning_rate, b1=b1, b2=b2, eps=eps)
 
     def update_apply(grads, state: FusedAdamState, params,
-                     shadow_dtype=None):
+                     shadow_dtype=None, quant_min_elems=None):
         """Returns (params', state') — or (params', state', shadow') when
         ``shadow_dtype`` is given: shadow' is the params in that dtype,
-        emitted by the same pass (no separate cast over the big leaves)."""
+        emitted by the same pass (no separate cast over the big leaves).
+
+        With ``quant_min_elems`` also returns qshadow: a params-shaped
+        tree of {"q": int8, "s": (1,1) f32} per-tensor-symmetric copies of
+        every 2-D leaf with at least that many elements (empty arrays
+        elsewhere).  XLA fuses the max/round into the Adam loop, so the
+        big-GEMM int8 weights cost one extra int8 write — not the separate
+        full quantisation pass that sank the round-1 int8 encoder."""
         count = state.count + 1
         cf = count.astype(jnp.float32)
         c1 = 1.0 - b1 ** cf
@@ -132,7 +154,7 @@ def fused_adam_pallas(learning_rate: float, b1: float = 0.9,
         flat_p = treedef.flatten_up_to(params)
 
         use_kernel = _use_pallas_kernel()
-        new_p, new_m, new_v, new_s = [], [], [], []
+        new_p, new_m, new_v, new_s, new_q = [], [], [], [], []
         for g, m, v, p in zip(flat_g, flat_m, flat_v, flat_p):
             if use_kernel and p.ndim == 2 and p.size >= _MIN_KERNEL_ELEMS:
                 out = _adam_leaf_pallas(
@@ -148,6 +170,9 @@ def fused_adam_pallas(learning_rate: float, b1: float = 0.9,
                           / (jnp.sqrt(v2 / c2) + eps))
                 s2 = (p2.astype(shadow_dtype)
                       if shadow_dtype is not None else None)
+            if quant_min_elems is not None:
+                new_q.append(quantize_leaf(
+                    p2, p2.ndim == 2 and p2.size >= quant_min_elems))
             new_p.append(p2)
             new_m.append(m2)
             new_v.append(v2)
@@ -155,9 +180,12 @@ def fused_adam_pallas(learning_rate: float, b1: float = 0.9,
 
         st = FusedAdamState(count, treedef.unflatten(new_m),
                             treedef.unflatten(new_v))
-        if shadow_dtype is None:
-            return treedef.unflatten(new_p), st
-        return treedef.unflatten(new_p), st, treedef.unflatten(new_s)
+        out = (treedef.unflatten(new_p), st)
+        if shadow_dtype is not None:
+            out = out + (treedef.unflatten(new_s),)
+        if quant_min_elems is not None:
+            out = out + (treedef.unflatten(new_q),)
+        return out
 
     return PallasAdam(init=base.init, update=base.update,
                       update_apply=update_apply)

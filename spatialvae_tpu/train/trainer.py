@@ -67,6 +67,16 @@ class TrainState(NamedTuple):
     # per-step f32->bf16 cast and the f32 gradient materialisation both
     # disappear.  None outside the shadow path.
     shadow: Optional[dict] = None
+    # int8 copies of the big encoder weights (params-shaped tree of
+    # {"q", "s"}, empty leaves elsewhere), also emitted by the Adam pass.
+    # Only populated in int8 mode — the encoder hidden GEMMs then run on
+    # the int8 MXU (see objectives/elbo.py q_quant).
+    qshadow: Optional[dict] = None
+
+
+# encoder leaves at least this large get int8 copies from the Adam pass
+# (catches the two big q hidden weights; p-net and heads stay bf16)
+_QENC_MIN_ELEMS = 8 << 20
 
 
 def _cast_tree(tree, dtype):
@@ -139,7 +149,8 @@ class Trainer:
         self._build_steps()
 
     # ------------------------------------------------------------------ loss
-    def _loss(self, params, y, ctf, key, z_scale, ecfg=None, y_t=None):
+    def _loss(self, params, y, ctf, key, z_scale, ecfg=None, y_t=None,
+              q_quant=None, y_q8=None):
         ecfg = ecfg or self.ecfg
         cd = self._compute_dtype
         q_params = _cast_tree(params["q"], cd)
@@ -170,6 +181,8 @@ class Trainer:
             mask=self.mask,
             image_shape=self.tcfg.image_shape,
             y_t=y_t,
+            q_quant=q_quant,
+            y_q8=y_q8,
         )
         loss = -elbo.astype(jnp.float32)
         aux = jnp.stack([elbo.astype(jnp.float32),
@@ -193,6 +206,9 @@ class Trainer:
         self._use_shadow = (hasattr(self.optimizer, "update_apply")
                             and self._compute_dtype == jnp.bfloat16
                             and self.mesh is None)
+        # int8 encoder (TrainState.qshadow) only in int8 speed mode — the
+        # quality contract is the same horizon band as the int8 decoder
+        self._use_qenc = self._use_shadow and bool(self.ecfg.int8)
 
         # evaluation and display run through plain jit (GSPMD under a mesh),
         # where a pallas_call cannot be partitioned — use the XLA decoder
@@ -229,14 +245,28 @@ class Trainer:
                 tail_step,
                 out_shardings=NamedSharding(self.mesh, PartitionSpec()))
         else:
-            def train_step(state, y, ctf, key, z_scale, y_t=None):
+            def train_step(state, y, ctf, key, z_scale, y_t=None,
+                           y_q8=None):
                 if state.shadow is not None:
                     # bf16 shadow path: the loss differentiates the
                     # compute-dtype copy the previous Adam pass emitted —
                     # no per-step f32->bf16 cast, bf16 gradients, and the
                     # next shadow rides out of the same Adam kernel
+                    qq = None
+                    if state.qshadow is not None:
+                        qq = [e["w"] for e
+                              in state.qshadow["q"]["layers"][:-1]]
                     (_, aux), grads = grad_fn(state.shadow, y, ctf, key,
-                                              z_scale, y_t=y_t)
+                                              z_scale, y_t=y_t, q_quant=qq,
+                                              y_q8=y_q8)
+                    if state.qshadow is not None:
+                        params, opt_state, shadow, qshadow = \
+                            self.optimizer.update_apply(
+                                grads, state.opt_state, state.params,
+                                shadow_dtype=self._compute_dtype,
+                                quant_min_elems=_QENC_MIN_ELEMS)
+                        return TrainState(params, opt_state, shadow,
+                                          qshadow), aux
                     params, opt_state, shadow = self.optimizer.update_apply(
                         grads, state.opt_state, state.params,
                         shadow_dtype=self._compute_dtype)
@@ -259,11 +289,13 @@ class Trainer:
                                 ecfg=self._nonstep_ecfg, y_t=y_t)
             return aux
 
-        def train_epoch_scan(state, data, data_t, ctf_data, idx, key,
-                             z_scale):
+        def train_epoch_scan(state, data, data_t, ctf_data, data_q8, idx,
+                             key, z_scale):
             """idx: (num_batches, B) permuted index batches.  data_t is an
             optional (N, C, HW) copy of data — gathering target batches in
-            the kernel's layout beats a per-step (B, HW, C) transpose."""
+            the kernel's layout beats a per-step (B, HW, C) transpose.
+            data_q8: optional (int8 (N, n) encoder-input copy, (1,1) scale)
+            — with it, the f32 image gather is dead code XLA removes."""
             def body(carry, ib):
                 st, k = carry
                 k, sub = jax.random.split(k)
@@ -272,7 +304,14 @@ class Trainer:
                        else jnp.take(data_t, ib, axis=0))
                 ctf = (None if ctf_data is None
                        else jnp.take(ctf_data, ib, axis=0))
-                st, aux = train_step(st, y, ctf, sub, z_scale, y_t)
+                if data_q8 is None:
+                    # the SPMD shard_map step doesn't take y_q8 (data_q8
+                    # is always None under a mesh)
+                    st, aux = train_step(st, y, ctf, sub, z_scale, y_t)
+                else:
+                    y_q8 = (jnp.take(data_q8[0], ib, axis=0), data_q8[1])
+                    st, aux = train_step(st, y, ctf, sub, z_scale, y_t,
+                                         y_q8)
                 return (st, k), aux
             (state, _), metrics = jax.lax.scan(body, (state, key), idx)
             return state, metrics
@@ -331,6 +370,37 @@ class Trainer:
         cache[id(y)] = (y, yt)
         return yt
 
+    def _dataset_yq8(self, dataset):
+        """(N, n) int8 + (1,1) scale encoder-input copy of dataset.y,
+        quantized ONCE per dataset (training images are constants) so the
+        hot loop gathers 4x less and spends no per-step activation-quant
+        pass on the encoder's first layer."""
+        y = dataset.y
+        cache = getattr(self, "_yq8_cache", None)
+        if cache is None:
+            cache = self._yq8_cache = {}
+        hit = cache.get(id(y))
+        if hit is not None and hit[0] is y:
+            return hit[1]
+
+        @jax.jit
+        def _quantize(arr):
+            # under jit so XLA fuses the scale/round/clip into one pass —
+            # eagerly this materialises several dataset-sized f32
+            # temporaries and can exhaust HBM at bench scale
+            flat = arr.reshape(arr.shape[0], -1).astype(jnp.float32)
+            s = (jnp.max(jnp.abs(flat)) / 127.0 + 1e-30).reshape(1, 1)
+            q = jnp.clip(jnp.round(flat / s), -127, 127).astype(jnp.int8)
+            return q, s
+
+        entry = _quantize(jnp.asarray(y))
+        cache[id(y)] = (y, entry)
+        return entry
+
+    def _wants_yq8(self, dataset) -> bool:
+        return (self._use_qenc and not self.tcfg.augment_rotation
+                and dataset.ctf is None)
+
     def _wants_yt(self, dataset) -> bool:
         """True iff the epoch scan's steps will take the fused int8
         loss-kernel path (so a pre-transposed target copy pays off)."""
@@ -365,6 +435,13 @@ class Trainer:
             # steps carry it forward out of the Adam kernel
             state = state._replace(
                 shadow=_cast_tree(state.params, self._compute_dtype))
+        if self._use_qenc and state.qshadow is None:
+            from spatialvae_tpu.train.optimizer_pallas import quantize_leaf
+
+            state = state._replace(qshadow=jax.tree_util.tree_map(
+                lambda p: quantize_leaf(
+                    p, p.ndim == 2 and p.size >= _QENC_MIN_ELEMS),
+                state.params))
         metrics = None
         tail_metrics = None
         if getattr(dataset, "host_resident", False):
@@ -408,9 +485,11 @@ class Trainer:
             if num_full:
                 data_t = (self._dataset_yt(dataset) if self._wants_yt(dataset)
                           else None)
+                data_q8 = (self._dataset_yq8(dataset)
+                           if self._wants_yq8(dataset) else None)
                 state, metrics = self._train_epoch_scan(
-                    state, dataset.y, data_t, dataset.ctf, full_idx,
-                    step_key, z_scale)
+                    state, dataset.y, data_t, dataset.ctf, data_q8,
+                    full_idx, step_key, z_scale)
             if tail and self._spmd \
                     and tail % self.mesh.shape["data"] != 0:
                 # the shard_map step can't take this batch — train it

@@ -102,6 +102,80 @@ def test_qlinear_matches_f32():
         assert cos > 0.995, cos
 
 
+def test_qlinear_pre_matches_qlinear():
+    """Prequantized-weight qlinear must agree with the self-quantizing one
+    (same per-tensor scheme) and route dW to the weight operand."""
+    from spatialvae_tpu.nn.qlinear import qlinear, qlinear_pre
+    from spatialvae_tpu.train.optimizer_pallas import quantize_leaf
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    x = jax.random.uniform(k1, (16, 64))
+    w = 0.1 * jax.random.normal(k2, (64, 32))
+    b = 0.1 * jax.random.normal(k3, (32,))
+    e = quantize_leaf(w, True)
+
+    out_a = qlinear(x, w, b)
+    out_b = qlinear_pre(x, w, b, e["q"], e["s"])
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-5)
+
+    ga = jax.grad(lambda *a: jnp.sum(jnp.sin(qlinear(*a))),
+                  argnums=(0, 1, 2))(x, w, b)
+    gb = jax.grad(
+        lambda x_, w_, b_: jnp.sum(jnp.sin(
+            qlinear_pre(x_, w_, b_, e["q"], e["s"]))),
+        argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
+def test_trainer_qenc_epoch_close_to_plain():
+    """The int8-encoder training path (Adam-emitted weight copies) tracks
+    the plain path's epoch metrics within quantisation noise."""
+    from spatialvae_tpu.core.config import InferenceConfig
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.train.optimizer_pallas import fused_adam_pallas
+    from spatialvae_tpu.train.trainer import TrainState
+    import spatialvae_tpu.train.trainer as trainer_mod
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 8
+    q_cfg = InferenceConfig(n=n * m, latent_dim=5, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, n_out=1,
+                                   num_layers=2)
+    ecfg = ElboConfig(theta_prior=np.pi, int8=True)   # fused off: CPU
+    tcfg = TrainConfig(minibatch_size=8, learning_rate=1e-3, num_epochs=1,
+                       seed=0, compute_dtype="bfloat16", image_shape=(n, m))
+    y = jax.random.uniform(jax.random.PRNGKey(5), (32, n * m))
+    data = ArrayDataset(y)
+
+    t_plain = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m))
+    e_plain = t_plain.train_epoch(data, 0, progress=False)
+
+    t_q = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m))
+    t_q.optimizer = fused_adam_pallas(tcfg.learning_rate, interpret=True)
+    t_q.state = TrainState(t_q.state.params,
+                           t_q.optimizer.init(t_q.state.params))
+    t_q._build_steps()
+    t_q._use_shadow = True
+    t_q._use_qenc = True
+    # toy-scale weights are below the production threshold; drop it so the
+    # hidden layers actually run quantized
+    old = trainer_mod._QENC_MIN_ELEMS
+    trainer_mod._QENC_MIN_ELEMS = 1
+    try:
+        e_q = t_q.train_epoch(data, 0, progress=False)
+    finally:
+        trainer_mod._QENC_MIN_ELEMS = old
+    assert t_q.state.qshadow is not None
+    assert t_q.state.qshadow["q"]["layers"][0]["w"]["q"].size > 0
+    np.testing.assert_allclose(e_q[0], e_plain[0], rtol=2e-2)
+
+
 def test_inference_apply_q8_close_to_f32():
     from spatialvae_tpu.core.config import InferenceConfig
     from spatialvae_tpu.models import inference_init
