@@ -458,8 +458,10 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
         # n_img=4 figure was measured at 80 MB; starving the scheduler of
         # scoped VMEM (42 MB) costs >10 ms in lost double-buffering.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(40 if n_img <= 2 else
-                              (80 if pt <= 1024 else 112)) * 1024 * 1024),
+            vmem_limit_bytes=int(os.environ.get(
+                "SPATIALVAE_VMEM_OVERRIDE",
+                40 if n_img <= 2 else (80 if pt <= 1024 else 112)
+            )) * 1024 * 1024),
         interpret=interpret,
     )(x3, fold, w1q, sw, h1s, w1q4, s4, b1, wht, bht, y_t)
 

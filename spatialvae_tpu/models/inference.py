@@ -49,6 +49,10 @@ def inference_apply(params, cfg: InferenceConfig, y: jax.Array,
         from spatialvae_tpu.nn.qlinear import qlinear_pre, qlinear_pre_xq
 
         layers = params["layers"]
+        # bounded activations give hidden-layer inputs a STATIC quant
+        # scale — no per-step max pass over the (B, H) activations
+        bound = (1.0 if cfg.activation in ("tanh", "sigmoid")
+                 and not cfg.resid else None)
         x = y
         for i, p in enumerate(layers[:-1]):
             e = qw[i] if i < len(qw) else None
@@ -57,7 +61,8 @@ def inference_apply(params, cfg: InferenceConfig, y: jax.Array,
                 h = qlinear_pre_xq(y_q8[0], y_q8[1], p["w"], p["b"],
                                    e["q"], e["s"])
             elif e is not None and e["q"].size:
-                h = qlinear_pre(x, p["w"], p["b"], e["q"], e["s"])
+                h = qlinear_pre(x, p["w"], p["b"], e["q"], e["s"],
+                                None if i == 0 else bound)
             else:
                 h = linear_apply(p, x)
             if cfg.resid and i > 0:

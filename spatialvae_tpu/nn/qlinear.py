@@ -69,28 +69,49 @@ qlinear.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_vjp
+def _qx(x, sx_static):
+    """Quantize an activation: dynamic per-tensor max, or a STATIC scale
+    when the caller knows a bound (tanh outputs are in [-1, 1] — the max
+    pass over the (B, H) tensor disappears and the round fuses into the
+    producing elementwise chain)."""
+    if sx_static is None:
+        return _q(x)
+    inv = 127.0 / sx_static
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127
+                 ).astype(jnp.int8)
+    return q, jnp.float32(sx_static / 127.0)
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def qlinear_pre(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-                wq: jnp.ndarray, sw: jnp.ndarray) -> jnp.ndarray:
+                wq: jnp.ndarray, sw: jnp.ndarray,
+                sx_static=None) -> jnp.ndarray:
     """x @ w + b on the int8 MXU using the PREQUANTIZED (wq, sw).
 
     ``w`` participates only in autodiff wiring (its cotangent is the int8
-    dW); the forward consumes wq/sw, which are treated as data."""
+    dW); the forward consumes wq/sw, which are treated as data.
+    ``sx_static``: known bound on |x| (e.g. 1.0 for tanh inputs) — skips
+    the dynamic max pass."""
     del w
-    xq, sx = _q(x)
+    xq, sx = _qx(x, sx_static)
     out = _dot8(xq, wq, (((1,), (0,)), ((), ()))) * (sx * sw[0, 0])
     return (out + b).astype(x.dtype)
 
 
-def _pre_fwd(x, w, b, wq, sw):
-    xq, sx = _q(x)
+def _pre_fwd(x, w, b, wq, sw, sx_static):
+    # (nondiff_argnums keeps fwd's signature in primal order; only bwd
+    # gets the static args prepended)
+    xq, sx = _qx(x, sx_static)
     out = _dot8(xq, wq, (((1,), (0,)), ((), ()))) * (sx * sw[0, 0])
     return ((out + b).astype(x.dtype),
             (xq, sx, wq, sw, jnp.zeros((0,), x.dtype),
              jnp.zeros((0,), w.dtype)))
 
 
-def _pre_bwd(res, g):
+def _pre_bwd(sx_static, res, g):
     xq, sx, wq, sw, x_s, w_s = res
     gq, sg = _q(g)
     dx = _dot8(gq, wq, (((1,), (1,)), ((), ()))) * (sg * sw[0, 0])
