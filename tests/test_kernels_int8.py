@@ -129,6 +129,20 @@ def test_qlinear_pre_matches_qlinear():
     for a, c in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
 
+    # static input scale (x is uniform[0,1) -> bound 1.0): same result as
+    # the dynamic per-tensor max within the quantisation step difference
+    out_s = qlinear_pre(x, w, b, e["q"], e["s"], 1.0)
+    err = np.abs(np.asarray(out_s) - np.asarray(x @ w + b))
+    assert err.max() / np.abs(np.asarray(x @ w + b)).max() < 2e-2
+    gs = jax.grad(
+        lambda x_, w_, b_: jnp.sum(jnp.sin(
+            qlinear_pre(x_, w_, b_, e["q"], e["s"], 1.0))),
+        argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(ga, gs):
+        cos = (np.asarray(a).ravel() @ np.asarray(c).ravel()
+               / (np.linalg.norm(a) * np.linalg.norm(c)))
+        assert cos > 0.995, cos
+
 
 def test_trainer_qenc_epoch_close_to_plain():
     """The int8-encoder training path (Adam-emitted weight copies) tracks
