@@ -328,17 +328,43 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
     ]
     seq = ("p1_h1a1", "p2_head", "p3_bce", "p4_headbwd", "p5_dh1",
            "p6_gemms", "p7_dh0", "p8_dfold")
+    # measurement harness: SPATIALVAE_PHASE_CUT=k runs only phases 1..k
+    # (cumulative-suffix ablation; subtracting consecutive cuts isolates
+    # in-context phase costs).  Beware suffix DCE when reading results:
+    # cut=6 drops the da0 GEMM because only p7 consumes it.  Measured
+    # ladder at B=2048/n4/pt1024: cut3=17.8, cut5=25.0, cut6=38.7,
+    # full=48.3 — additive at probe GEMM rates, VPU+stalls ~16 ms.
+    cut = int(os.environ.get("SPATIALVAE_PHASE_CUT", "8"))
+    seq = seq[:cut]
     for t in range(len(seq) + n_img - 1):
         for r in range(n_img):
             k = t - r
             if 0 <= k < len(seq):
                 getattr(ss[r], seq[k])()
 
-    df_pair = jnp.stack([s.dfold for s in ss])              # (n_img, 4, H)
-    dw1 = sum(s.dw1 for s in ss[1:]) + ss[0].dw1
-    db1 = sum(s.db1 for s in ss[1:]) + ss[0].db1
-    dwht = sum(s.dwht for s in ss[1:]) + ss[0].dwht
-    dbht = sum(s.dbht for s in ss[1:]) + ss[0].dbht
+    h = w1q_ref.shape[0]
+    if cut >= 8:
+        df_pair = jnp.stack([s.dfold for s in ss])          # (n_img, 4, H)
+    else:
+        z = jnp.zeros((4, h), jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+        df_pair = jnp.stack([
+            jnp.where((row == 3) & (col == 0), s.bce, 0.0) for s in ss])
+    if cut >= 6:
+        dw1 = sum(s.dw1 for s in ss[1:]) + ss[0].dw1
+    else:
+        dw1 = jnp.zeros((h, h), jnp.float32)
+    if cut >= 4:
+        dwht = sum(s.dwht for s in ss[1:]) + ss[0].dwht
+    else:
+        dwht = jnp.zeros(dwht_ref.shape, jnp.float32)
+    if cut >= 5:
+        db1 = sum(s.db1 for s in ss[1:]) + ss[0].db1
+        dbht = sum(s.dbht for s in ss[1:]) + ss[0].dbht
+    else:
+        db1 = jnp.zeros((1, h), jnp.float32)
+        dbht = jnp.zeros(dbht_ref.shape, jnp.float32)
 
     first = jnp.logical_and(i == 0, j == 0)
 
