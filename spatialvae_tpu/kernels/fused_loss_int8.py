@@ -402,9 +402,14 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
     # pipeline depth: how many images share one grid step (halves the
     # per-grid-step overhead again at 4 and gives the scheduler more
     # independent work to cover MXU->VPU dependency stalls)
-    n_img = int(os.environ.get("SPATIALVAE_PIPE_IMGS", _PIPE_IMGS_DEFAULT))
-    while b % n_img:
-        n_img //= 2
+    req = int(os.environ.get("SPATIALVAE_PIPE_IMGS", _PIPE_IMGS_DEFAULT))
+    if req < 1:
+        req = int(_PIPE_IMGS_DEFAULT)
+    # largest power-of-2 divisor of b that is <= the request (a raw
+    # non-divisor like 6 must not silently collapse to depth 1)
+    n_img = 1
+    while n_img * 2 <= req and b % (n_img * 2) == 0:
+        n_img *= 2
     grad_mode = os.environ.get("SPATIALVAE_INT4_GRADS", _GRAD_MODE_DEFAULT)
 
     f32 = jnp.float32

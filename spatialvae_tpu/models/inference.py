@@ -49,10 +49,12 @@ def inference_apply(params, cfg: InferenceConfig, y: jax.Array,
         from spatialvae_tpu.nn.qlinear import qlinear_pre, qlinear_pre_xq
 
         layers = params["layers"]
-        # bounded activations give hidden-layer inputs a STATIC quant
-        # scale — no per-step max pass over the (B, H) activations
-        bound = (1.0 if cfg.activation in ("tanh", "sigmoid")
-                 and not cfg.resid else None)
+        # tanh gives hidden-layer inputs a STATIC symmetric quant scale
+        # ([-1, 1] uses the full int8 range) — no per-step max pass over
+        # the (B, H) activations.  sigmoid outputs live in [0, 1]: a
+        # symmetric static scale would waste the sign bit (7-bit
+        # effective), so sigmoid configs keep the dynamic max pass
+        bound = 1.0 if cfg.activation == "tanh" and not cfg.resid else None
         x = y
         for i, p in enumerate(layers[:-1]):
             e = qw[i] if i < len(qw) else None

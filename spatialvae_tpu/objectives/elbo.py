@@ -171,7 +171,11 @@ def elbo_minibatch(
     # ---- fused int8 decode+BCE+backward fast path ---------------------------
     # one Pallas kernel computes the Bernoulli log-likelihood AND its
     # gradients (kernels/fused_loss_int8.py); the decode never materialises
-    if (not want_y_hat and ctf is None
+    # mask is a non-default term the kernel does not implement — bernoulli
+    # + mask (legal via the library API even though no CLI produces it,
+    # train_particles.py:126-133 masks only the gaussian path) must fall
+    # back to the XLA path rather than silently computing an unmasked BCE
+    if (not want_y_hat and ctf is None and mask is None
             and fused_loss_active(ecfg, p_cfg, coords.shape[0], b)):
         import os
         if os.environ.get("SPATIALVAE_LOSS_LAYOUT", "row") == "t":
@@ -233,7 +237,19 @@ def elbo_minibatch(
         # -BCE(mean over elements) * size == -(sum BCE)/B  (train_mnist.py:81,
         # train_galaxy.py:118-119)
         target = y.reshape(b, -1)
-        log_p = -_bce_sum(y_hat.reshape(b, -1), target) / b
+        if mask is not None:
+            # per-pixel mask (library extension: the reference masks only
+            # the gaussian path, train_particles.py:126-133) — broadcast
+            # over channels if y has them
+            c = target.shape[1] // mask.shape[0]
+            mflat = jnp.repeat(mask, c) if c > 1 else mask
+            yh = y_hat.reshape(b, -1)
+            log_y = jnp.clip(jnp.log(yh), -100.0, None)
+            log_1my = jnp.clip(jnp.log1p(-yh), -100.0, None)
+            per = -(target * log_y + (1.0 - target) * log_1my)
+            log_p = -jnp.sum(per * mflat[None, :]) / b
+        else:
+            log_p = -_bce_sum(y_hat.reshape(b, -1), target) / b
     else:
         y_flat = y.reshape(b, -1)
         hw = y_flat.shape[1]

@@ -150,7 +150,7 @@ class Trainer:
 
     # ------------------------------------------------------------------ loss
     def _loss(self, params, y, ctf, key, z_scale, ecfg=None, y_t=None,
-              q_quant=None, y_q8=None):
+              q_quant=None, y_q8=None, augment=True):
         ecfg = ecfg or self.ecfg
         cd = self._compute_dtype
         q_params = _cast_tree(params["q"], cd)
@@ -160,7 +160,10 @@ class Trainer:
 
         y_inf = None
         offsets = None
-        if self.tcfg.augment_rotation and self.ecfg.rotate \
+        # augmentation is a TRAINING regulariser only: the reference's
+        # eval_model never rotates (train_particles.py:204-228 passes no
+        # augment_rotation) — eval_step calls with augment=False
+        if augment and self.tcfg.augment_rotation and self.ecfg.rotate \
                 and not self.ecfg.vanilla:
             key, k_off = jax.random.split(key)
             b = y.shape[0]
@@ -286,7 +289,8 @@ class Trainer:
 
         def eval_step(params, y, ctf, key, z_scale, y_t=None):
             _, aux = self._loss(params, y, ctf, key, z_scale,
-                                ecfg=self._nonstep_ecfg, y_t=y_t)
+                                ecfg=self._nonstep_ecfg, y_t=y_t,
+                                augment=False)
             return aux
 
         def train_epoch_scan(state, data, data_t, ctf_data, data_q8, idx,
@@ -349,11 +353,27 @@ class Trainer:
         tail_idx = idx[num_full * b:] if tail else None
         return full_idx, tail_idx, num_full, tail
 
+    # cached per-dataset device copies hold dataset-sized arrays; cap the
+    # caches so cycling many datasets through one trainer cannot pile up
+    # copies in HBM (entries evict oldest-first)
+    _DATASET_CACHE_MAX = 2
+
+    @staticmethod
+    def _cache_put(cache, key, value):
+        while len(cache) >= Trainer._DATASET_CACHE_MAX:
+            cache.pop(next(iter(cache)))
+        cache[key] = value
+
     def _dataset_yt(self, dataset):
         """(N, C, HW) compute-dtype copy of dataset.y for the fused int8
         loss kernel, built once per dataset and cached (the kernel wants
         channel-major target tiles; transposing per step costs ~8 ms at
-        B=2048 — gathering from a pre-transposed copy costs ~0.1 ms)."""
+        B=2048 — gathering from a pre-transposed copy costs ~0.1 ms).
+
+        Note: in bfloat16 compute the copy is bf16, so BCE values and dz2
+        gradients on the fused path (train AND eval metrics) carry ~2^-9
+        relative target rounding vs f32 targets — validated acceptable by
+        the 30-epoch int8-vs-bf16 horizon (tools/int8_horizon.py)."""
         y = dataset.y
         cache = getattr(self, "_yt_cache", None)
         if cache is None:
@@ -367,7 +387,7 @@ class Trainer:
             .astype(self._compute_dtype)
         # key by id, keep the source array alive in the value so the id
         # cannot be recycled while the entry exists
-        cache[id(y)] = (y, yt)
+        self._cache_put(cache, id(y), (y, yt))
         return yt
 
     def _dataset_yq8(self, dataset):
@@ -394,7 +414,7 @@ class Trainer:
             return q, s
 
         entry = _quantize(jnp.asarray(y))
-        cache[id(y)] = (y, entry)
+        self._cache_put(cache, id(y), (y, entry))
         return entry
 
     def _wants_yq8(self, dataset) -> bool:
@@ -406,7 +426,7 @@ class Trainer:
         loss-kernel path (so a pre-transposed target copy pays off)."""
         from spatialvae_tpu.objectives.elbo import fused_loss_active
 
-        if dataset.ctf is not None:
+        if dataset.ctf is not None or self.mask is not None:
             return False
         b = self.tcfg.minibatch_size
         if self._spmd:

@@ -117,6 +117,40 @@ def test_mask_elbo_matches_oracle():
     np.testing.assert_allclose(float(elbo), e0, rtol=1e-4)
 
 
+def test_bernoulli_mask_matches_oracle_and_blocks_fused_path():
+    """bernoulli + mask must (a) never take the fused int8 loss kernel —
+    which has no mask support — and (b) compute the masked BCE.  The CLIs
+    never combine them (mask is particles/gaussian-only,
+    train_particles.py:126-133) but the library API allows it."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from spatialvae_tpu.objectives.elbo import fused_loss_active
+
+    n = m = 32
+    q_cfg, p_cfg, qp, pp, y, r, coords = _setup(n=n, m=m)
+    yg, xg = np.ogrid[:n, :m]
+    dist = np.sqrt((n / 2 - yg) ** 2 + (m / 2 - xg) ** 2)
+    mask = (dist < min(n, m) / 2).ravel().astype(np.float32)
+    ecfg = ElboConfig(likelihood="bernoulli", fused=True, int8=True)
+    # without the mask this config takes the fused kernel path
+    assert fused_loss_active(ecfg, p_cfg, n * m, 4)
+    with pltpu.force_tpu_interpret_mode():
+        elbo, logp, kl, _ = elbo_minibatch(qp, pp, q_cfg, p_cfg, ecfg,
+                                           coords, y, None, noise=r,
+                                           mask=jnp.asarray(mask))
+    # oracle: decode explicitly, masked BCE summed over unmasked pixels
+    _, _, _, y_hat = elbo_minibatch(qp, pp, q_cfg, p_cfg,
+                                    ElboConfig(likelihood="bernoulli"),
+                                    coords, y, None, noise=r,
+                                    want_y_hat=True)
+    yh = np.asarray(y_hat).reshape(4, -1)
+    yy = np.asarray(y).reshape(4, -1)
+    per = -(yy * np.clip(np.log(yh), -100, None)
+            + (1 - yy) * np.clip(np.log1p(-yh), -100, None))
+    logp0 = -np.sum(per * mask[None, :]) / 4
+    np.testing.assert_allclose(float(logp), logp0, rtol=1e-4)
+
+
 def test_offset_reinjection_matches_oracle():
     """rotation-augment offsets are added back to theta before the pose."""
     q_cfg, p_cfg, qp, pp, y, r, coords = _setup()

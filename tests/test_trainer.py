@@ -47,6 +47,19 @@ def test_augmented_training_runs():
     assert np.isfinite(elbo)
 
 
+def test_eval_never_augments():
+    """Parity: the reference's eval_model never rotates inputs
+    (train_particles.py:204-228 takes no augment_rotation) — eval metrics
+    must be identical with augment_rotation on/off at fixed params."""
+    t_aug = _trainer(augment=True, seed=7)
+    t_plain = _trainer(augment=False, seed=7)
+    rng = np.random.RandomState(4)
+    data = ArrayDataset(jnp.asarray(rng.rand(32, 64).astype(np.float32)))
+    m_aug = t_aug.eval_epoch(data, epoch=0)
+    m_plain = t_plain.eval_epoch(data, epoch=0)
+    np.testing.assert_allclose(m_aug, m_plain, rtol=1e-6)
+
+
 def test_eval_epoch_matches_manual_elbo():
     """eval_epoch's weighted mean must equal recomputing elbo_minibatch
     per batch with the same keys."""
