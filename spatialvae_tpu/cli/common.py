@@ -59,6 +59,13 @@ def add_common_extras(parser: argparse.ArgumentParser):
     add_arg(parser, "--resume-inference", default=None,
             help="resume: load inference-net params from this checkpoint "
                  "(additive)")
+    add_arg(parser, "--save-optimizer", action="store_true",
+            help="also checkpoint Adam state (count/moments) alongside the "
+                 "model checkpoints, enabling faithful resume (additive)")
+    add_arg(parser, "--resume-optimizer", default=None,
+            help="resume: restore Adam state + epoch index from this "
+                 "optimizer checkpoint; training continues the exact "
+                 "uninterrupted trajectory (additive)")
 
 
 def _use_fused(args) -> bool:
@@ -108,9 +115,13 @@ def make_dataset(y, ctf=None, mesh=None, preload=True):
                         None if ctf is None else jnp.asarray(ctf))
 
 
-def maybe_resume(trainer, args) -> None:
-    """Load generator/inference params from checkpoints into the trainer."""
-    from spatialvae_tpu.train.checkpoint import load_model
+def maybe_resume(trainer, args) -> int:
+    """Load generator/inference params (and optionally Adam state) from
+    checkpoints into the trainer.  Returns the epoch to start from (0
+    unless --resume-optimizer carries a later epoch index) so epoch loops
+    — and the per-epoch shuffle/step keys derived from the epoch number —
+    continue the exact uninterrupted trajectory."""
+    from spatialvae_tpu.train.checkpoint import load_model, load_optimizer
     from spatialvae_tpu.train.trainer import TrainState
 
     params = dict(trainer.state.params)
@@ -124,7 +135,16 @@ def maybe_resume(trainer, args) -> None:
         assert kind == "inference", args.resume_inference
         params["q"] = p
         print(f"# resumed inference net from {args.resume_inference}")
-    trainer.state = TrainState(params, trainer.optimizer.init(params))
+    start_epoch = 0
+    if getattr(args, "resume_optimizer", None):
+        opt_state, epoch = load_optimizer(args.resume_optimizer)
+        start_epoch = epoch + 1
+        print(f"# resumed optimizer state from {args.resume_optimizer} "
+              f"(continuing at epoch {start_epoch + 1})")
+    else:
+        opt_state = trainer.optimizer.init(params)
+    trainer.state = TrainState(params, opt_state)
+    return start_epoch
 
 
 @contextlib.contextmanager

@@ -236,7 +236,7 @@ def run(args):
                            seed=args.seed, compute_dtype=args.compute_dtype,
                            image_shape=(n, m), channels=channels)
         trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh)
-        maybe_resume(trainer, args)
+        start_epoch = maybe_resume(trainer, args)
 
         data_train = make_dataset(y_train, mesh=mesh)
         data_val = make_dataset(y_val, mesh=mesh)
@@ -254,7 +254,7 @@ def run(args):
 
         import jax
 
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             z_scale = 0.0 if epoch < args.z_delay else 1.0
             epoch_str = str(epoch + 1).zfill(digits)
             if args.profile_dir and epoch == 1:
@@ -286,6 +286,17 @@ def run(args):
                             trainer.state.params["q"], q_cfg,
                             async_write=False, elbo=trainer.ecfg,
                             image_shape=trainer.tcfg.image_shape)
+
+        if args.save_optimizer:
+            from spatialvae_tpu.train.checkpoint import (
+                optimizer_path,
+                save_optimizer,
+            )
+
+            save_optimizer(
+                optimizer_path(args.save_prefix, num_epochs - 1, digits,
+                               outputs.trained_dir),
+                trainer.state.opt_state, num_epochs - 1)
         basic_run_plot(train_results, val_results,
                        output_dir=outputs.images_dir)
         outputs.write_results(train_lines, val_lines)

@@ -251,7 +251,7 @@ def run(args):
                            compute_dtype=args.compute_dtype,
                            image_shape=(n, m))
         trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh)
-        maybe_resume(trainer, args)
+        start_epoch = maybe_resume(trainer, args)
 
         data_train = make_dataset(y_train, mesh=mesh)
         data_test = make_dataset(y_test, mesh=mesh)
@@ -269,7 +269,7 @@ def run(args):
         train_lines, val_lines = [header], [header]
 
         prof_dir = args.profile_dir
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             if prof_dir and epoch == 1:
                 jax.profiler.start_trace(prof_dir)
             epoch_str = str(epoch + 1).zfill(digits)
@@ -299,6 +299,17 @@ def run(args):
                             trainer.state.params["q"], q_cfg,
                             async_write=False, elbo=trainer.ecfg,
                             image_shape=trainer.tcfg.image_shape)
+
+        if args.save_optimizer:
+            from spatialvae_tpu.train.checkpoint import (
+                optimizer_path,
+                save_optimizer,
+            )
+
+            save_optimizer(
+                optimizer_path(args.save_prefix, num_epochs - 1, digits,
+                               outputs.trained_dir),
+                trainer.state.opt_state, num_epochs - 1)
         basic_run_plot(train_results, val_results,
                        output_dir=outputs.images_dir)
         outputs.write_results(train_lines, val_lines)

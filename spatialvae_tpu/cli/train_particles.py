@@ -250,7 +250,7 @@ def run(args):
         trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords,
                           mask=None if mask is None else jnp.asarray(mask),
                           mesh=mesh)
-        maybe_resume(trainer, args)
+        start_epoch = maybe_resume(trainer, args)
 
         preload = not args.no_preload
         data_train = make_dataset(y_train, ctf_train, mesh=mesh,
@@ -262,7 +262,7 @@ def run(args):
 
         import jax
 
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             z_scale = 0.0 if epoch < args.z_delay else 1.0
             if args.profile_dir and epoch == 1:
                 jax.profiler.start_trace(args.profile_dir)
@@ -275,12 +275,22 @@ def run(args):
 
             # per-interval checkpoints to the bare prefix
             # (train_particles.py:529-543)
-            save_trained_models(args.save_prefix, epoch, digits,
-                                args.save_interval, None,
-                                trainer.state.params["p"], p_cfg,
-                                trainer.state.params["q"], q_cfg,
-                                elbo=trainer.ecfg,
-                                image_shape=trainer.tcfg.image_shape)
+            saved = save_trained_models(
+                args.save_prefix, epoch, digits,
+                args.save_interval, None,
+                trainer.state.params["p"], p_cfg,
+                trainer.state.params["q"], q_cfg,
+                elbo=trainer.ecfg,
+                image_shape=trainer.tcfg.image_shape)
+            if saved and args.save_optimizer:
+                from spatialvae_tpu.train.checkpoint import (
+                    optimizer_path,
+                    save_optimizer,
+                )
+
+                save_optimizer(
+                    optimizer_path(args.save_prefix, epoch, digits),
+                    trainer.state.opt_state, epoch, async_write=True)
             if args.profile_dir and epoch == 1:
                 jax.profiler.stop_trace()
 

@@ -89,6 +89,54 @@ _MXU_BUILD_DEFAULT = False
 # depth 2 = 51.2 ms, depth 4 = 48.4 ms, depth 8 = 55.8 ms (VMEM pressure
 # breaks Mosaic's block double-buffering) — 4 is the sweet spot.
 _PIPE_IMGS_DEFAULT = "4"
+# tanh engine for the two in-kernel activation sites (SPATIALVAE_TANH):
+# 'exact' = jnp.tanh; 'pade' = clamped Padé(5,4) with an approximate VPU
+# reciprocal.  MEASURED: pade is much SLOWER (63.2 vs 48.5 ms at B=2048)
+# — jnp.tanh lowers to a cheap native VPU op on TPU, so the explicit
+# ~9-op rational chain triples the activation cost.  Conclusion recorded
+# because it localises the kernel's VPU exposure to the SIMPLE passes
+# (builds/FMAs/quant chains/casts), not the transcendentals.
+_TANH_MODE_DEFAULT = "exact"
+# epilogue elementwise dtype (SPATIALVAE_EPI): 'bf16' keeps the round-2
+# behaviour (da1/dh1/dh0 chains in bf16); 'f32' keeps the p5/p7 chains in
+# f32 with bf16 only at the MXU-operand boundaries — motivated by the
+# round-2 finding that Mosaic's bf16 elementwise is SLOWER than f32
+# (repacking overhead), which was measured for build/p1 but never for the
+# epilogue.  f32 also drops the bf16 quant-scale dance (exact f32 scale).
+_EPI_DEFAULT = "bf16"
+# stochastic rounding default (SPATIALVAE_SR); see _lossgrad_pallas.
+# NOTE: pltpu.stochastic_round only targets float dtypes (bf16/fp8) in
+# this runtime, so integer SR is implemented manually as floor(x + u)
+# with a PRNG-derived uniform — ~3 extra VPU ops per quant site, so SR is
+# a QUALITY lever (unbiased int4 rounding), not a speed one.
+_SR_DEFAULT = "0"
+
+
+def _sr_int(x, rbits, lo, hi):
+    """Stochastically round f32 x to integers in [lo, hi], returned int8.
+
+    floor(x + u) with u ~ U[0, 1) built from the mantissa-fill bitcast
+    trick: (bits & 0x7fffff) | 0x3f800000 reinterprets as f32 in [1, 2)."""
+    u = pltpu.bitcast(
+        (rbits & jnp.uint32(0x7FFFFF)) | jnp.uint32(0x3F800000),
+        jnp.float32) - 1.0
+    return jnp.clip(jnp.floor(x + u), lo, hi).astype(jnp.int8)
+
+
+def _tanh_pade(x):
+    """Clamped Padé(5,4) tanh, clipped to [-1, 1]: max |err| 1.36e-3 —
+    below the int8 activation quant step (1/127 = 7.9e-3) and bf16
+    resolution (2^-9), so quality-free at both kernel activation sites.
+
+    ~9 cheap VPU ops (mult/FMA/approx-reciprocal) vs the transcendental
+    jnp.tanh lowering.  Outside the fit range the rational overshoots 1
+    (unbounded as x/15) so the clip is mandatory — int8 casts downstream
+    would otherwise wrap."""
+    t = x * x
+    num = x * (945.0 + t * (105.0 + t))
+    den = 945.0 + t * (420.0 + 15.0 * t)
+    r = num * pl.reciprocal(den, approx=True)
+    return jnp.clip(r, -1.0, 1.0)
 
 
 def _pick_tile(hw: int) -> int:
@@ -118,7 +166,10 @@ class _Phases:
 
     def __init__(self, r, aq, acc, sw_ref, h1s_ref, b1_ref, wht_ref,
                  bht_ref, yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4,
-                 grad_mode):
+                 grad_mode, tanh_fn=jnp.tanh, rbits=None, epi="bf16"):
+        self.tanh = tanh_fn
+        self.rbits = rbits      # (Pt, H) uint32: stochastic-round bits
+        self.epi = epi          # epilogue elementwise dtype mode
         self.r = r
         self.aq = aq            # (Pt, H) int8 (i4fwd: 4-bit values)
         self.acc = acc
@@ -144,7 +195,11 @@ class _Phases:
         # repacking costs more than f32's wider passes; keep f32
         h1 = (self.acc.astype(jnp.float32) * self.h1s_ref[0:1, :]
               + self.b1_ref[0:1, :])
-        self.a1c = jnp.tanh(h1).astype(self.wht_ref.dtype)   # (Pt, H)
+        a1 = self.tanh(h1)
+        self.a1c = a1.astype(self.wht_ref.dtype)             # (Pt, H)
+        # f32 epilogue keeps the full-precision activation alive for p5's
+        # tanh' chain (no bf16 repacking there); ~2 MB/img extra VMEM
+        self.a1f = a1 if self.epi == "f32" else None
 
     def p2_head(self):                                       # MXU
         z2 = jax.lax.dot_general(                            # (No, Pt)
@@ -170,12 +225,48 @@ class _Phases:
             preferred_element_type=jnp.float32)
         # bf16 da1 halves the largest transient (Mosaic needs a 32-bit
         # matmul acc, so cast right after); dh1 is int8-quantised next, so
-        # the 0.4% rounding is below the quant noise
-        self.da1 = jax.lax.dot_general(                      # (Pt, H)
+        # the 0.4% rounding is below the quant noise.  The f32 epilogue
+        # keeps the accumulator as-is — one fewer pass.
+        da1 = jax.lax.dot_general(                           # (Pt, H)
             self.dz2c, self.wht_ref[:, :], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            preferred_element_type=jnp.float32)
+        self.da1 = da1 if self.epi == "f32" else da1.astype(jnp.bfloat16)
+
+    def p5_dh1_f32(self):                                    # VPU, f32
+        """f32-epilogue variant of p5: tanh'/quant chain entirely in f32
+        (no bf16 repacking, exact f32 quant scale — no bf16-scale margin
+        dance) feeding the same int8/int4 gradient tiles."""
+        self.dbht = jnp.sum(self.dz2, axis=1, keepdims=True)
+        dh1 = self.da1 * (1.0 - self.a1f * self.a1f)         # (Pt, H) f32
+        self.db1 = jnp.sum(dh1, axis=0, keepdims=True)
+        m1 = jnp.max(jnp.abs(dh1), axis=0, keepdims=True)    # (1, H)
+        maxv = jnp.max(m1, axis=1, keepdims=True) + 1e-30    # (1, 1)
+        if self.grad_mode in ("da0_i4", "i4fwd"):
+            qs = 7.0 / maxv
+            self.sg = maxv * (1.0 / 7.0)
+            q = dh1 * qs
+            if self.rbits is not None:
+                q4i8 = _sr_int(q, self.rbits, -7, 7)
+            else:
+                q4i8 = jnp.clip(jnp.round(q), -7, 7).astype(jnp.int8)
+            self.dh1q_dw1 = q4i8
+            self.dh1q_da0 = q4i8.astype(self.i4)
+            self.dscale = self.sg * self.s4_ref[0:1, :]      # (1, H)
+        else:
+            qs = 127.0 / maxv
+            self.sg = maxv * (1.0 / 127.0)
+            q = dh1 * qs
+            if self.rbits is not None:
+                q8 = _sr_int(q, self.rbits, -127, 127)
+            else:
+                q8 = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+            self.dh1q_dw1 = q8
+            self.dh1q_da0 = q8
+            self.dscale = self.sg * self.sw_ref[0, 0]        # (1, 1)
 
     def p5_dh1(self):                                        # VPU
+        if self.epi == "f32":
+            return self.p5_dh1_f32()
         self.dbht = jnp.sum(self.dz2, axis=1, keepdims=True)
         one = jnp.bfloat16(1.0)
         dh1 = self.da1 * (one - self.a1c * self.a1c)         # (Pt, H) bf16
@@ -200,20 +291,33 @@ class _Phases:
         maxv = jnp.max(m1.astype(jnp.float32), axis=1,
                        keepdims=True) + 1e-30               # (1, 1) f32
         if self.grad_mode in ("da0_i4", "i4fwd"):
-            qs_b = (7.0 / maxv).astype(jnp.bfloat16)        # (1, 1)
-            self.sg = 1.0 / qs_b.astype(jnp.float32)        # (1, 1) f32
-            # neither bf16 roundeven nor bf16 comparisons legalize in
-            # Mosaic: round the scaled tile in f32 (one transient pass)
-            q = (dh1 * qs_b).astype(jnp.float32)
-            q4i8 = jnp.clip(jnp.round(q), -7, 7).astype(jnp.int8)
+            if self.rbits is not None:
+                # stochastic rounding: unbiased gradient quantisation
+                qs_b = (7.0 / maxv).astype(jnp.bfloat16)    # (1, 1)
+                self.sg = 1.0 / qs_b.astype(jnp.float32)    # (1, 1) f32
+                q = (dh1 * qs_b).astype(jnp.float32)
+                q4i8 = _sr_int(q, self.rbits, -7, 7)
+            else:
+                qs_b = (7.0 / maxv).astype(jnp.bfloat16)    # (1, 1)
+                self.sg = 1.0 / qs_b.astype(jnp.float32)    # (1, 1) f32
+                # neither bf16 roundeven nor bf16 comparisons legalize in
+                # Mosaic: round the scaled tile in f32 (one transient pass)
+                q = (dh1 * qs_b).astype(jnp.float32)
+                q4i8 = jnp.clip(jnp.round(q), -7, 7).astype(jnp.int8)
             self.dh1q_dw1 = q4i8
             self.dh1q_da0 = q4i8.astype(self.i4)
             self.dscale = self.sg * self.s4_ref[0:1, :]     # (1, H)
         else:
-            qs_b = (127.0 / maxv).astype(jnp.bfloat16)      # (1, 1)
-            self.sg = 1.0 / qs_b.astype(jnp.float32)        # (1, 1) f32
-            q = (dh1 * qs_b).astype(jnp.float32)
-            q8 = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+            if self.rbits is not None:
+                qs_b = (127.0 / maxv).astype(jnp.bfloat16)  # (1, 1)
+                self.sg = 1.0 / qs_b.astype(jnp.float32)    # (1, 1) f32
+                q = (dh1 * qs_b).astype(jnp.float32)
+                q8 = _sr_int(q, self.rbits, -127, 127)
+            else:
+                qs_b = (127.0 / maxv).astype(jnp.bfloat16)  # (1, 1)
+                self.sg = 1.0 / qs_b.astype(jnp.float32)    # (1, 1) f32
+                q = (dh1 * qs_b).astype(jnp.float32)
+                q8 = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
             self.dh1q_dw1 = q8
             self.dh1q_da0 = q8
             self.dscale = self.sg * self.sw_ref[0, 0]       # (1, 1)
@@ -228,14 +332,19 @@ class _Phases:
             self.dh1q_da0, wk[:, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
 
-    def p7_dh0(self):                                        # VPU, bf16
+    def p7_dh0(self):                                        # VPU
         # the gradient dequant scale (sg*sw) is NOT applied here: it is a
         # per-tile scalar, so it commutes with the linear dfold contraction
         # and is applied to the (4, H) result in p8 instead — one fewer
         # full (Pt, H) VPU pass
-        a0d = self.aq.astype(jnp.bfloat16) * jnp.bfloat16(self.aq_inv)
-        da0 = self.da0.astype(jnp.bfloat16)
-        self.dh0 = da0 * (jnp.bfloat16(1.0) - a0d * a0d)
+        if self.epi == "f32":
+            a0d = self.aq.astype(jnp.float32) * self.aq_inv
+            da0 = self.da0.astype(jnp.float32)
+            self.dh0 = (da0 * (1.0 - a0d * a0d)).astype(jnp.bfloat16)
+        else:
+            a0d = self.aq.astype(jnp.bfloat16) * jnp.bfloat16(self.aq_inv)
+            da0 = self.da0.astype(jnp.bfloat16)
+            self.dh0 = da0 * (jnp.bfloat16(1.0) - a0d * a0d)
 
     def p8_dfold(self):                                      # MXU + tiny VPU
         # dfold rows [sum x0*dh0, sum x1*dh0, sum dh0, 0] as one MXU
@@ -257,7 +366,7 @@ class _Phases:
 def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
             b1_ref, wht_ref, bht_ref, yt_ref, df_ref, dw1_ref, db1_ref,
             dwht_ref, dbht_ref, w4s, w4fs, *, i4, grad_mode, mxu_build,
-            n_img):
+            n_img, tanh_fn=jnp.tanh, use_sr=False, epi="bf16"):
     """Grid (B//n_img, tiles): n_img images x one pixel tile per step.
 
     Straight-line body (no control flow until the accumulator writes) so
@@ -268,6 +377,20 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
+
+    rbits = None
+    if use_sr:
+        # one (Pt, H) bits tile per grid step, shared by the n_img staggered
+        # images (rounding correlation across images is harmless — they
+        # quantise different data).  Seed mixes the grid position with the
+        # bias parameter's bits so the rounding pattern changes every
+        # training step (a FIXED pattern would be a deterministic bias).
+        bseed = jax.lax.bitcast_convert_type(b1_ref[0:1, 0:1],
+                                             jnp.int32)[0, 0]
+        pltpu.prng_seed(bseed ^ (i * pl.num_programs(1) + j))
+        rbits = pltpu.bitcast(
+            pltpu.prng_random_bits((x3_ref.shape[0], w1q_ref.shape[0])),
+            jnp.uint32)
 
     # int4 weight copies, cast once into persistent VMEM scratches (int4
     # HBM arrays are not supported by the runtime; casting (H, H) every
@@ -297,16 +420,25 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
             x1 = x3_ref[:, 1:2].astype(jnp.float32)
             h0 = (x0 * f_ref[r, 0:1, :] + x1 * f_ref[r, 1:2, :]
                   + f_ref[r, 2:3, :]).astype(jnp.float32)
-        a0 = jnp.tanh(h0)
+        a0 = tanh_fn(h0)
         if grad_mode == "i4fwd":
             # single 4-bit activation quantisation: the int4 fwd GEMM,
-            # the dw1 GEMM and the tanh' rebuild all consume it
-            aq = jnp.clip(jnp.round(a0 * 7.0), -7, 7).astype(jnp.int8)
+            # the dw1 GEMM and the tanh' rebuild all consume it.  With SR
+            # the 4-bit forward is UNBIASED per element (|a0| <= 1 exactly,
+            # so a0*7 <= 7 and the upward SR step cannot exceed the int4
+            # range), which is what makes the int4 forward defaultable
+            if rbits is not None:
+                aq = _sr_int(a0 * 7.0, rbits, -7, 7)
+            else:
+                aq = jnp.clip(jnp.round(a0 * 7.0), -7, 7).astype(jnp.int8)
             acc = jax.lax.dot_general(                       # int4 x int4
                 aq.astype(i4), w4fs[:, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             return aq, acc
-        aq = jnp.round(a0 * 127.0).astype(jnp.int8)
+        if rbits is not None:
+            aq = _sr_int(a0 * 127.0, rbits, -127, 127)
+        else:
+            aq = jnp.round(a0 * 127.0).astype(jnp.int8)
         acc = jax.lax.dot_general(
             aq, w1q_ref[:, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
@@ -323,7 +455,8 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
     built = [build(r) for r in range(n_img)]
     ss = [
         _Phases(r, aq, acc, sw_ref, h1s_ref, b1_ref, wht_ref, bht_ref,
-                yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode)
+                yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode,
+                tanh_fn=tanh_fn, rbits=rbits, epi=epi)
         for r, (aq, acc) in enumerate(built)
     ]
     seq = ("p1_h1a1", "p2_head", "p3_bce", "p4_headbwd", "p5_dh1",
@@ -411,6 +544,12 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
     while n_img * 2 <= req and b % (n_img * 2) == 0:
         n_img *= 2
     grad_mode = os.environ.get("SPATIALVAE_INT4_GRADS", _GRAD_MODE_DEFAULT)
+    # SPATIALVAE_INTERPRET=1: force the per-call interpret path (plain XLA
+    # lowering of the kernel body).  Tests use this instead of
+    # pltpu.force_tpu_interpret_mode around shard_map — the full Mosaic
+    # interpreter's cross-device barrier clocks crawl/livelock with 8
+    # virtual devices, while per-call interpret stays fast.
+    interpret = interpret or os.environ.get("SPATIALVAE_INTERPRET") == "1"
 
     f32 = jnp.float32
     if grad_mode == "i4fwd":
@@ -461,9 +600,22 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
     i4 = jnp.int4 if use_i4 else jnp.int8
     mxu_build = os.environ.get("SPATIALVAE_MXU_BUILD",
                                "1" if _MXU_BUILD_DEFAULT else "0") == "1"
+    tanh_mode = os.environ.get("SPATIALVAE_TANH", _TANH_MODE_DEFAULT)
+    # interpret mode keeps exact tanh: the approx reciprocal has no
+    # interpreter lowering guarantee and tests compare against jnp.tanh
+    tanh_fn = (_tanh_pade if tanh_mode == "pade" and not interpret
+               else jnp.tanh)
+    # stochastic rounding of the quant sites (SPATIALVAE_SR=1): unbiased
+    # int4/int8 rounding via manual floor(x+u) — a QUALITY lever for the
+    # int4 forward, costing ~3 extra VPU ops per site (see _sr_int); off
+    # under interpret (tests need deterministic round-to-nearest)
+    use_sr = (os.environ.get("SPATIALVAE_SR", _SR_DEFAULT) == "1"
+              and use_i4)
+    epi = os.environ.get("SPATIALVAE_EPI", _EPI_DEFAULT)
     return pl.pallas_call(
         functools.partial(_kernel, i4=i4, grad_mode=grad_mode,
-                          mxu_build=mxu_build, n_img=n_img),
+                          mxu_build=mxu_build, n_img=n_img,
+                          tanh_fn=tanh_fn, use_sr=use_sr, epi=epi),
         grid=(b // n_img, tiles),
         in_specs=[
             pl.BlockSpec((pt, 4), lambda i, j: (j, 0), memory_space=vm),

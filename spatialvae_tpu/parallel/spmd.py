@@ -39,30 +39,62 @@ def make_spmd_step(trainer, mesh, *, fold_shard_key=None):
     grad_fn = jax.value_and_grad(trainer._loss, has_aux=True)
     optimizer = trainer.optimizer
 
-    def per_device(state, y, ctf, key, z_scale, y_t):
+    def per_device(state, y, ctf, key, z_scale, y_t, y_q8):
+        """Mirrors the single-chip train_step (trainer._build_steps)
+        including the round-2 throughput stack: the loss differentiates
+        the bf16 shadow copy when present, the int8 encoder weights
+        (qshadow) and prequantized data batch (y_q8) feed the int8 MXU,
+        and the update runs through the fused update+apply — all
+        per-device on replicated params, so every device emits identical
+        state."""
         idx = jax.lax.axis_index("data")
         key = fold(key, idx)                   # decorrelate shard noise
-        (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale,
-                                  y_t=y_t)
+        if state.shadow is not None:
+            qq = None
+            if state.qshadow is not None:
+                qq = [e["w"] for e in state.qshadow["q"]["layers"][:-1]]
+            (_, aux), grads = grad_fn(state.shadow, y, ctf, key, z_scale,
+                                      y_t=y_t, q_quant=qq, y_q8=y_q8)
+        else:
+            (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale,
+                                      y_t=y_t)
         grads = jax.lax.pmean(grads, "data")   # global-batch gradient
         aux = jax.lax.pmean(aux, "data")       # equal shards -> exact mean
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
+        if state.shadow is not None:
+            cd = trainer._compute_dtype
+            if state.qshadow is not None:
+                from spatialvae_tpu.train.trainer import _QENC_MIN_ELEMS
+
+                params, opt_state, shadow, qshadow = \
+                    optimizer.update_apply(
+                        grads, state.opt_state, state.params,
+                        shadow_dtype=cd, quant_min_elems=_QENC_MIN_ELEMS)
+                return type(state)(params, opt_state, shadow, qshadow), aux
+            params, opt_state, shadow = optimizer.update_apply(
+                grads, state.opt_state, state.params, shadow_dtype=cd)
+            return type(state)(params, opt_state, shadow), aux
+        if hasattr(optimizer, "update_apply"):
+            params, opt_state = optimizer.update_apply(
+                grads, state.opt_state, state.params)
+        else:
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
         return type(state)(params, opt_state), aux
 
     def spec(state_like):
         return jax.tree_util.tree_map(lambda _: P(), state_like)
 
-    def step(state, y, ctf, key, z_scale, y_t=None):
+    def step(state, y, ctf, key, z_scale, y_t=None, y_q8=None):
         in_specs = (spec(state), P("data"),
                     P("data") if ctf is not None else None,
                     P(), P(),
-                    P("data") if y_t is not None else None)
+                    P("data") if y_t is not None else None,
+                    (P("data"), P()) if y_q8 is not None else None)
         out_specs = (spec(state), P())
         fn = jax.shard_map(per_device, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
-        return fn(state, y, ctf, key, z_scale, y_t)
+        return fn(state, y, ctf, key, z_scale, y_t, y_q8)
 
     return step
 

@@ -107,6 +107,58 @@ def load_model_meta(path: str):
             payload["kind"], meta)
 
 
+def save_optimizer(path: str, opt_state, epoch: int,
+                   async_write: bool = False) -> None:
+    """Persist Adam state (count/mu/nu) + the epoch index so a resumed run
+    continues the exact trajectory (bias correction and moments do NOT
+    restart).  Additive: the reference has no resume at all (SURVEY 3.5)."""
+    payload = {
+        "format": FORMAT,
+        "kind": "optimizer",
+        "epoch": int(epoch),
+        "count": int(np.asarray(opt_state.count)),
+        "mu": _to_numpy(opt_state.mu),
+        "nu": _to_numpy(opt_state.nu),
+    }
+
+    def write():
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    if async_write:
+        _pending.append(_writer.submit(write))
+    else:
+        write()
+
+
+def load_optimizer(path: str):
+    """Returns (FusedAdamState, epoch)."""
+    import jax.numpy as jnp
+
+    from spatialvae_tpu.train.optimizer import FusedAdamState
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if payload.get("format") != FORMAT or payload.get("kind") != "optimizer":
+        raise ValueError(f"{path} is not a {FORMAT} optimizer checkpoint")
+    state = FusedAdamState(
+        count=jnp.asarray(payload["count"], jnp.int32),
+        mu=jax.tree_util.tree_map(jnp.asarray, payload["mu"]),
+        nu=jax.tree_util.tree_map(jnp.asarray, payload["nu"]),
+    )
+    return state, payload["epoch"]
+
+
+def optimizer_path(prefix: str, epoch: int, digits: int,
+                   trained_dir: Optional[str] = None) -> str:
+    e = str(epoch + 1).zfill(digits)
+    opt = f"{prefix}_optimizer_epoch{e}.sav"
+    if trained_dir is not None:
+        opt = os.path.join(trained_dir, opt)
+    return opt
+
+
 def checkpoint_paths(prefix: str, epoch: int, digits: int,
                      trained_dir: Optional[str] = None) -> Tuple[str, str]:
     e = str(epoch + 1).zfill(digits)

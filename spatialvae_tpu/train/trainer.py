@@ -110,12 +110,15 @@ class Trainer:
 
         from spatialvae_tpu.train.optimizer import fused_adam
 
-        if jax.default_backend() == "tpu" and mesh is None:
-            # single Pallas pass per big leaf for update+apply (the HBM
-            # floor); identical numerics to fused_adam — see
-            # train/optimizer_pallas.py.  Mesh runs keep the XLA path
-            # (pallas_call can't be GSPMD-partitioned; the shard_map SPMD
-            # step has its own update site).
+        # DP meshes take the shard_map SPMD step (see _build_steps), where
+        # each device runs the full single-chip step — including pallas
+        # calls — on its shard; the fused update+apply (and the bf16
+        # shadow / int8 encoder-weight emission that ride it) therefore
+        # carry over to multi-chip.  Model-parallel meshes use the GSPMD
+        # path, which cannot partition a pallas_call: plain XLA Adam there.
+        spmd_dp = (mesh is not None and mesh.shape.get("model", 1) == 1
+                   and ecfg.fused)
+        if jax.default_backend() == "tpu" and (mesh is None or spmd_dp):
             from spatialvae_tpu.train.optimizer_pallas import (
                 fused_adam_pallas,
             )
@@ -204,11 +207,14 @@ class Trainer:
                       and self.mesh.shape.get("model", 1) == 1
                       and self.ecfg.fused)
 
-        # bf16 shadow-params fast path (see TrainState.shadow): only where
-        # the Pallas update+apply optimizer is active and compute is bf16
+        # bf16 shadow-params fast path (see TrainState.shadow): wherever
+        # the fused update+apply optimizer is active and compute is bf16 —
+        # single chip, or the shard_map DP path (each device runs the full
+        # single-chip step on replicated params, so the shadow/qshadow
+        # emission is identical across devices)
         self._use_shadow = (hasattr(self.optimizer, "update_apply")
                             and self._compute_dtype == jnp.bfloat16
-                            and self.mesh is None)
+                            and (self.mesh is None or self._spmd))
         # int8 encoder (TrainState.qshadow) only in int8 speed mode — the
         # quality contract is the same horizon band as the int8 decoder
         self._use_qenc = self._use_shadow and bool(self.ecfg.int8)
@@ -309,8 +315,6 @@ class Trainer:
                 ctf = (None if ctf_data is None
                        else jnp.take(ctf_data, ib, axis=0))
                 if data_q8 is None:
-                    # the SPMD shard_map step doesn't take y_q8 (data_q8
-                    # is always None under a mesh)
                     st, aux = train_step(st, y, ctf, sub, z_scale, y_t)
                 else:
                     y_q8 = (jnp.take(data_q8[0], ib, axis=0), data_q8[1])

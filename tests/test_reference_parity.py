@@ -499,6 +499,202 @@ def make_rotated_images(n_images: int, n: int, m: int, seed: int):
     return (1.0 / (1.0 + np.exp(-acc))).astype(np.float32)
 
 
+def test_reference_epoch_trajectory_band_particles(ref_modules):
+    """BASELINE.md to-do #1, particles family: per-epoch train-ELBO means
+    of the ACTUAL reference train_particles loop (gaussian likelihood +
+    per-particle CTF + circular mask, train_particles.py:22-148) vs our
+    trainer — matched init, independent noise/batch order, <1% band."""
+    ref_models, _, ref_particles, _ = ref_modules
+    import jax
+    import jax.numpy as jnp
+
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.ctf import ctf_filter
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.models import inference_init, spatial_generator_init
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 9                                  # odd dims (CTF parity)
+    z_dim = 2
+    hidden = 96
+    b = 32
+    n_images = 192
+    epochs = 3
+    lr = 1e-4
+
+    images = make_rotated_images(n_images, n, m, seed=11)
+    # gaussian model: whole-image normalize like --normalize
+    flat = images.reshape(n_images, n * m)
+    flat = ((flat - flat.mean()) / flat.std()).astype(np.float32)
+    coords = coord_grid(n, m)
+
+    import pandas as pd
+
+    rngc = np.random.RandomState(3)
+    table = pd.DataFrame({
+        "defocus": 1.0 + rngc.rand(n_images) * 2.0,
+        "cs": [2.0] * n_images, "voltage": [300.0] * n_images,
+        "apix": [1.2] * n_images, "bfactor": 40.0 + rngc.rand(n_images) * 30,
+        "ampcont": [10.0] * n_images, "dfdiff": [0.0] * n_images,
+        "dfang": rngc.rand(n_images) * 180,
+    })
+    ctf = ctf_filter(table, n, m).astype(np.float32)     # (N, n, m)
+
+    yy, xx = np.ogrid[:n, :m]
+    dist = np.sqrt((n / 2 - yy) ** 2 + (m / 2 - xx) ** 2)
+    mask_bool = (dist < min(n, m) / 2).ravel()
+
+    inf_dim = z_dim + 3
+    q_cfg = InferenceConfig(n=n * m, latent_dim=inf_dim, hidden_dim=hidden,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=hidden,
+                                   num_layers=2)
+    kq, kp = jax.random.split(jax.random.PRNGKey(2))
+    qp = inference_init(kq, q_cfg)
+    pp = spatial_generator_init(kp, p_cfg)
+
+    # --- reference side ---------------------------------------------------
+    q_net = ref_models.InferenceNetwork(n * m, inf_dim, hidden, num_layers=2)
+    p_net = ref_models.SpatialGenerator(z_dim, hidden, n_out=1, num_layers=2)
+    _copy_params_to_torch(qp, pp, q_net, p_net)
+    torch.manual_seed(21)
+    optim = torch.optim.Adam(
+        list(p_net.parameters()) + list(q_net.parameters()), lr=lr)
+    x_t = torch.tensor(np.asarray(coords))
+    y_all = torch.tensor(flat)
+    ctf_all = torch.tensor(ctf).unsqueeze(1)              # (N, 1, n, m)
+    mask_t = torch.tensor(mask_bool)
+    shuffle_rng = np.random.RandomState(17)
+    ref_epochs = []
+    for _ in range(epochs):
+        order = shuffle_rng.permutation(n_images)
+        total = 0.0
+        for k0 in range(0, n_images, b):
+            idx = order[k0:k0 + b]
+            elbo, _, _ = ref_particles.eval_minibatch(
+                x_t, y_all[idx], mask_t, ctf_all[idx], p_net, q_net,
+                rotate=True, translate=True, dx_scale=0.1,
+                theta_prior=np.pi, use_cuda=False)
+            (-elbo).backward()
+            optim.step()
+            optim.zero_grad()
+            total += float(elbo) * len(idx)
+        ref_epochs.append(total / n_images)
+
+    # --- our side ---------------------------------------------------------
+    ecfg = ElboConfig(theta_prior=np.pi, theta_mean_penalty=False,
+                      likelihood="gaussian")
+    tcfg = TrainConfig(minibatch_size=b, learning_rate=lr,
+                       num_epochs=epochs, seed=9, image_shape=(n, m))
+    trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords,
+                      mask=jnp.asarray(mask_bool.astype(np.float32)))
+    trainer.state = type(trainer.state)(
+        {"q": qp, "p": pp}, trainer.optimizer.init({"q": qp, "p": pp}))
+    ds = ArrayDataset(jnp.asarray(flat), jnp.asarray(ctf))
+    our_epochs = [trainer.train_epoch(ds, e, progress=False)[0]
+                  for e in range(epochs)]
+
+    rel = np.abs((np.array(our_epochs) - np.array(ref_epochs))
+                 / np.array(ref_epochs))
+    print(f"ref: {ref_epochs}\nours: {our_epochs}\nrel: {rel}")
+    assert np.all(rel < 0.01), (ref_epochs, our_epochs, rel)
+
+
+def test_reference_epoch_trajectory_band_galaxy(ref_modules):
+    """BASELINE.md to-do #1, galaxy family: per-epoch train-ELBO means of
+    the ACTUAL reference train_galaxy loop (multichannel BCE,
+    train_galaxy.py:27-128) vs our trainer — matched init, independent
+    noise/batch order, <1% band."""
+    ref_models, _, _, ref_galaxy = ref_modules
+    import jax
+    import jax.numpy as jnp
+
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.models import inference_init, spatial_generator_init
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 12
+    z_dim = 2
+    channels = 3
+    hidden = 96
+    b = 32
+    n_images = 192
+    epochs = 3
+    lr = 1e-4
+
+    # 3-channel synthetic galaxies: correlated channels of the rotated field
+    base = make_rotated_images(n_images, n, m, seed=13)
+    g = make_rotated_images(n_images, n, m, seed=14)
+    r3 = np.stack([base, 0.5 * base + 0.5 * g, g], axis=-1)
+    flat = r3.reshape(n_images, n * m, channels).astype(np.float32)
+    coords = coord_grid(n, m)
+
+    inf_dim = z_dim + 3
+    q_cfg = InferenceConfig(n=n * m * channels, latent_dim=inf_dim,
+                            hidden_dim=hidden, num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=hidden,
+                                   n_out=channels, num_layers=2)
+    kq, kp = jax.random.split(jax.random.PRNGKey(4))
+    qp = inference_init(kq, q_cfg)
+    pp = spatial_generator_init(kp, p_cfg)
+
+    # --- reference side ---------------------------------------------------
+    q_net = ref_models.InferenceNetwork(n * m * channels, inf_dim, hidden,
+                                        num_layers=2)
+    p_net = ref_models.SpatialGenerator(z_dim, hidden, n_out=channels,
+                                        num_layers=2)
+    _copy_params_to_torch(qp, pp, q_net, p_net)
+    torch.manual_seed(31)
+    optim = torch.optim.Adam(
+        list(p_net.parameters()) + list(q_net.parameters()), lr=lr)
+    x_t = torch.tensor(np.asarray(coords))
+    y_all = torch.tensor(flat)
+    shuffle_rng = np.random.RandomState(23)
+    ref_epochs = []
+    for _ in range(epochs):
+        order = shuffle_rng.permutation(n_images)
+        total = 0.0
+        for k0 in range(0, n_images, b):
+            yb = y_all[order[k0:k0 + b]]
+            elbo, _, _, _ = ref_galaxy.eval_minibatch(
+                x_t, yb, p_net, q_net, rotate=True, translate=True,
+                dx_scale=0.1, theta_prior=np.pi, z_scale=1, use_cuda=False)
+            (-elbo).backward()
+            optim.step()
+            optim.zero_grad()
+            total += float(elbo) * yb.shape[0]
+        ref_epochs.append(total / n_images)
+
+    # --- our side ---------------------------------------------------------
+    ecfg = ElboConfig(theta_prior=np.pi, theta_mean_penalty=False,
+                      likelihood="bernoulli", channels=channels)
+    tcfg = TrainConfig(minibatch_size=b, learning_rate=lr,
+                       num_epochs=epochs, seed=15, image_shape=(n, m),
+                       channels=channels)
+    trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords)
+    trainer.state = type(trainer.state)(
+        {"q": qp, "p": pp}, trainer.optimizer.init({"q": qp, "p": pp}))
+    ds = ArrayDataset(jnp.asarray(flat))
+    our_epochs = [trainer.train_epoch(ds, e, progress=False)[0]
+                  for e in range(epochs)]
+
+    rel = np.abs((np.array(our_epochs) - np.array(ref_epochs))
+                 / np.array(ref_epochs))
+    print(f"ref: {ref_epochs}\nours: {our_epochs}\nrel: {rel}")
+    assert np.all(rel < 0.01), (ref_epochs, our_epochs, rel)
+
+
 def test_reference_epoch_trajectory_band(ref_modules):
     """BASELINE.md to-do #1: per-epoch train-ELBO means of the ACTUAL
     reference train_mnist loop vs our trainer at BASELINE.json config #1

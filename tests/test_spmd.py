@@ -117,6 +117,108 @@ def test_spmd_epoch_with_fused_kernel_interpret():
     ev = t.eval_epoch(data, 0)                 # GSPMD unfused eval path
     assert np.isfinite(ev[0])
 
+def test_spmd_fused_loss_kernel_matches_single_device(monkeypatch):
+    """VERDICT r2 #4a: the int8 fused loss+grad KERNEL (HW>=1024) running
+    INSIDE make_spmd_step (interpret mode) must match the single-device
+    step bit-for-tolerance — same data on every shard, same keys.
+
+    Per-call interpret (SPATIALVAE_INTERPRET=1) instead of
+    force_tpu_interpret_mode: the full Mosaic interpreter's device-barrier
+    clocks crawl under shard_map with 8 virtual devices."""
+    monkeypatch.setenv("SPATIALVAE_INTERPRET", "1")
+
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.objectives.elbo import fused_loss_active
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 32                                 # HW=1024: int8 kernel floor
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    q_cfg = InferenceConfig(n=n * m, latent_dim=5, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, num_layers=2)
+    ecfg = ElboConfig(likelihood="bernoulli", theta_prior=np.pi,
+                      fused=True, int8=True)
+    coords = coord_grid(n, m)
+    tcfg = TrainConfig(minibatch_size=16, num_epochs=1, seed=0,
+                       image_shape=(n, m))
+    t = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh)
+    assert t._spmd
+    # the per-device batch (16/8 = 2) takes the fused int8 loss kernel
+    assert fused_loss_active(ecfg, p_cfg, n * m, 2)
+
+    step = make_spmd_train_step(t, mesh, fold_shard_key=lambda k, i: k)
+    y = jax.random.uniform(jax.random.PRNGKey(11), (2, n * m))
+    y_rep = jnp.tile(y, (8, 1))
+    key = jax.random.PRNGKey(4)
+    z = jnp.asarray(1.0, jnp.float32)
+    state_spmd, m_spmd = step(t.state, y_rep, None, key, z)
+
+    t1 = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords)      # single device
+    state_ref, m_ref = t1._train_step(t1.state, y, None, key, z)
+    np.testing.assert_allclose(np.asarray(m_spmd), np.asarray(m_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state_spmd.params["p"]["coord"]["w"]),
+        np.asarray(state_ref.params["p"]["coord"]["w"]),
+        rtol=1e-5, atol=1e-7)
+
+
+def test_spmd_epoch_with_shadow_and_qshadow(monkeypatch):
+    """The round-2 throughput stack (bf16 shadow params + Adam-emitted int8
+    encoder weights + fused update_apply) now runs under the shard_map DP
+    path — an epoch must train, emit qshadow, and stay finite."""
+    monkeypatch.setenv("SPATIALVAE_INTERPRET", "1")
+
+    import spatialvae_tpu.train.trainer as trainer_mod
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.train.optimizer_pallas import fused_adam_pallas
+    from spatialvae_tpu.train.trainer import TrainState
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 32
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    q_cfg = InferenceConfig(n=n * m, latent_dim=5, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, num_layers=2)
+    ecfg = ElboConfig(likelihood="bernoulli", theta_prior=np.pi,
+                      fused=True, int8=True)
+    tcfg = TrainConfig(minibatch_size=16, num_epochs=1, seed=0,
+                       compute_dtype="bfloat16", image_shape=(n, m))
+    t = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m), mesh=mesh)
+    assert t._spmd
+    # CPU trainers get the plain XLA Adam; swap in the fused update_apply
+    # (interpret) to exercise the full TPU stack shape under the mesh
+    t.optimizer = fused_adam_pallas(tcfg.learning_rate, interpret=True)
+    t.state = TrainState(t.state.params, t.optimizer.init(t.state.params))
+    t._build_steps()
+    assert t._use_shadow and t._use_qenc
+
+    data = ArrayDataset(jax.random.uniform(jax.random.PRNGKey(6),
+                                           (32, n * m)))
+    old = trainer_mod._QENC_MIN_ELEMS
+    trainer_mod._QENC_MIN_ELEMS = 1
+    try:
+        elbo, gen, kl = t.train_epoch(data, 0, progress=False)
+        elbo2, _, _ = t.train_epoch(data, 1, progress=False)
+    finally:
+        trainer_mod._QENC_MIN_ELEMS = old
+    assert np.isfinite(elbo) and np.isfinite(elbo2)
+    assert t.state.shadow is not None
+    assert t.state.qshadow is not None
+    assert t.state.qshadow["q"]["layers"][0]["w"]["q"].size > 0
+
+
 def test_spmd_tail_batch_is_trained_not_dropped():
     """An SPMD epoch whose trailing partial batch doesn't divide the data
     axis must still train those images (round-1 weak #5) — and since the

@@ -90,6 +90,45 @@ def test_eval_epoch_matches_manual_elbo():
     np.testing.assert_allclose(elbo, total / count, rtol=1e-5)
 
 
+def test_optimizer_resume_reproduces_trajectory(tmp_path):
+    """Interrupt-resume with persisted Adam state must continue the exact
+    uninterrupted trajectory (bias correction / moments do not restart)."""
+    from spatialvae_tpu.train.checkpoint import (
+        load_model,
+        load_optimizer,
+        save_model,
+        save_optimizer,
+    )
+    from spatialvae_tpu.train.trainer import TrainState
+
+    rng = np.random.RandomState(5)
+    data = ArrayDataset(jnp.asarray(rng.rand(64, 64).astype(np.float32)))
+
+    t_full = _trainer(seed=5)
+    full = [t_full.train_epoch(data, e, progress=False) for e in range(4)]
+
+    t_a = _trainer(seed=5)
+    for e in range(2):
+        t_a.train_epoch(data, e, progress=False)
+    gen = str(tmp_path / "g.sav")
+    inf = str(tmp_path / "i.sav")
+    opt = str(tmp_path / "o.sav")
+    save_model(gen, "generator", t_a.state.params["p"], t_a.p_cfg)
+    save_model(inf, "inference", t_a.state.params["q"], t_a.q_cfg)
+    save_optimizer(opt, t_a.state.opt_state, epoch=1)
+
+    t_b = _trainer(seed=5)
+    p, _, _ = load_model(gen)
+    q, _, _ = load_model(inf)
+    opt_state, epoch = load_optimizer(opt)
+    assert epoch == 1
+    t_b.state = TrainState({"q": q, "p": p}, opt_state)
+    resumed = [t_b.train_epoch(data, e, progress=False)
+               for e in range(epoch + 1, 4)]
+    np.testing.assert_allclose(np.asarray(resumed), np.asarray(full[2:]),
+                               rtol=2e-5)
+
+
 def test_load_model_rejects_garbage(tmp_path):
     from spatialvae_tpu.train.checkpoint import load_model
 
