@@ -45,6 +45,11 @@ def add_common_extras(parser: argparse.ArgumentParser):
             help="write a jax.profiler trace of epoch 1 here (additive)")
     add_arg(parser, "--mesh-model", type=int, default=1,
             help="model/pixel mesh axis size for multi-chip runs (additive)")
+    add_arg(parser, "--tp-mode", choices=["column", "row"],
+            default="column",
+            help="q first-layer tensor-parallel layout: 'column' shards "
+                 "output features; 'row' shards the input-pixel dimension "
+                 "(for images that outgrow one chip) (additive)")
     add_arg(parser, "--no-fused", action="store_true",
             help="disable the fused Pallas decoder kernel (additive)")
     add_arg(parser, "--int8-decoder", action="store_true",

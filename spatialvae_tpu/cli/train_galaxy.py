@@ -235,7 +235,8 @@ def run(args):
                            augment_rotation=args.augment_rotation,
                            seed=args.seed, compute_dtype=args.compute_dtype,
                            image_shape=(n, m), channels=channels)
-        trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh)
+        trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh,
+                          tp_mode=args.tp_mode)
         start_epoch = maybe_resume(trainer, args)
 
         data_train = make_dataset(y_train, mesh=mesh)

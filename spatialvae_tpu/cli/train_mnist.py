@@ -250,7 +250,8 @@ def run(args):
                            num_epochs=num_epochs, seed=args.seed,
                            compute_dtype=args.compute_dtype,
                            image_shape=(n, m))
-        trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh)
+        trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh,
+                          tp_mode=args.tp_mode)
         start_epoch = maybe_resume(trainer, args)
 
         data_train = make_dataset(y_train, mesh=mesh)

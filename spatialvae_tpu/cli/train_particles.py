@@ -249,7 +249,7 @@ def run(args):
                            image_shape=(n, m))
         trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords,
                           mask=None if mask is None else jnp.asarray(mask),
-                          mesh=mesh)
+                          mesh=mesh, tp_mode=args.tp_mode)
         start_epoch = maybe_resume(trainer, args)
 
         preload = not args.no_preload

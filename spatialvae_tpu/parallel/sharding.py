@@ -31,24 +31,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_shardings(params: dict, mesh: Mesh) -> dict:
+def param_shardings(params: dict, mesh: Mesh,
+                    tp_mode: str = "column") -> dict:
     """Per-leaf NamedShardings: q first layer tensor-parallel, rest
-    replicated."""
+    replicated.
+
+    tp_mode (SURVEY 5.7):
+    - 'column' (default): w0 P(None, 'model') — output features sharded;
+      activations inherit the 'model' sharding, bias sharded to match.
+    - 'row': w0 P('model', None) — the INPUT-PIXEL dimension sharded, for
+      when images outgrow one chip's copy of the (n_pixels, H) weight;
+      each device holds a pixel slice and GSPMD inserts the partial-sum
+      all-reduce after the first GEMM (row-parallel linear).  Bias stays
+      replicated (it adds after the reduction).
+    """
+    if tp_mode not in ("column", "row"):
+        raise ValueError(f"tp_mode must be 'column' or 'row': {tp_mode!r}")
+
     def assign(path, leaf):
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
         # q-net first layer: params['q']['layers'][0]['w'|'b']
         if keys[:3] == ["q", "layers", 0] and mesh.shape["model"] > 1:
             if keys[3] == "w" and leaf.ndim == 2:
-                return NamedSharding(mesh, P(None, "model"))
-            if keys[3] == "b" and leaf.ndim == 1:
+                spec = (P(None, "model") if tp_mode == "column"
+                        else P("model", None))
+                return NamedSharding(mesh, spec)
+            if keys[3] == "b" and leaf.ndim == 1 and tp_mode == "column":
                 return NamedSharding(mesh, P("model"))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-def shard_params(params: dict, mesh: Mesh) -> dict:
-    return jax.device_put(params, param_shardings(params, mesh))
+def shard_params(params: dict, mesh: Mesh, tp_mode: str = "column") -> dict:
+    return jax.device_put(params, param_shardings(params, mesh, tp_mode))
 
 
 def shard_dataset(y, mesh: Mesh, ctf=None):

@@ -91,7 +91,8 @@ class Trainer:
     def __init__(self, q_cfg: InferenceConfig, p_cfg, ecfg: ElboConfig,
                  tcfg: TrainConfig, coords: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
-                 param_dtype=jnp.float32, mesh=None):
+                 param_dtype=jnp.float32, mesh=None,
+                 tp_mode: str = "column"):
         self.q_cfg = q_cfg
         self.p_cfg = p_cfg
         self.ecfg = ecfg
@@ -135,7 +136,7 @@ class Trainer:
             )
 
             set_activation_sharding(mesh)
-            params = shard_params(params, mesh)
+            params = shard_params(params, mesh, tp_mode)
             self.state = TrainState(params,
                                     jax.jit(self.optimizer.init)(params))
         else:

@@ -83,6 +83,37 @@ def test_sharded_step_matches_single_chip(mesh_cfg):
     np.testing.assert_allclose(w1, w8, rtol=1e-4, atol=1e-5)
 
 
+def test_row_parallel_first_layer_matches_single_chip():
+    """SURVEY 5.7's 'if images outgrow one chip' variant: the q first
+    layer row-parallel (input-pixel dimension sharded, partial sums
+    all-reduced by GSPMD) must match the single-device step."""
+    from spatialvae_tpu.train.trainer import TrainState
+
+    t, y, key = _small_trainer()
+    z = jnp.asarray(1.0, jnp.float32)
+    state1, m1 = t._train_step(t.state, y, None, key, z)
+
+    mesh = create_mesh(MeshConfig(data=4, model=2))
+    sh = param_shardings(t.state.params, mesh, tp_mode="row")
+    assert sh["q"]["layers"][0]["w"].spec == \
+        jax.sharding.PartitionSpec("model", None)
+    assert sh["q"]["layers"][0]["b"].spec == jax.sharding.PartitionSpec()
+    set_activation_sharding(mesh)
+    try:
+        params = shard_params(t.state.params, mesh, tp_mode="row")
+        opt_state = jax.jit(t.optimizer.init)(params)
+        ys = jax.device_put(y, batch_sharding(mesh))
+        state8, m8 = t._train_step(TrainState(params, opt_state), ys, None,
+                                   key, z)
+    finally:
+        set_activation_sharding(None)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m8), rtol=1e-4,
+                               atol=1e-5)
+    w1 = np.asarray(state1.params["q"]["layers"][0]["w"])
+    w8 = np.asarray(state8.params["q"]["layers"][0]["w"])
+    np.testing.assert_allclose(w1, w8, rtol=1e-4, atol=1e-5)
+
+
 def test_dryrun_multichip_runs():
     import __graft_entry__ as ge
 

@@ -60,10 +60,11 @@ def scan_time(name, fn, args, iters):
 
 
 def main():
-    global B
+    global B, HW
     pt = 2048
     iters = 30
     only = None
+    interpret = False
     for a in sys.argv[1:]:
         k, v = a.split("=")
         if k == "pt":
@@ -72,8 +73,25 @@ def main():
             iters = int(v)
         elif k == "b":
             B = int(v)
+        elif k == "hw":
+            HW = int(v)
         elif k == "only":
             only = v.split(",")
+        elif k == "interpret":
+            # smoke-test mode (tests/test_kernel_bench_smoke.py): run the
+            # probes through the Mosaic interpreter at tiny shapes so the
+            # measurement harness the round-2/3 conclusions rest on stays
+            # executable without a TPU.  Timings are meaningless here.
+            interpret = v == "1"
+
+    if interpret:
+        # the axon plugin ignores the JAX_PLATFORMS env var; the config
+        # flag wins (same dance as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+        from jax.experimental.pallas import tpu as _pltpu
+
+        ctx = _pltpu.force_tpu_interpret_mode()
+        ctx.__enter__()
 
     def want(name):
         return only is None or any(name.startswith(o) for o in only)

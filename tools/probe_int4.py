@@ -211,6 +211,70 @@ def main():
 
     scan_time("gemm-i8xi4", gemm_wi4, (a8, w4in8), iters)
 
+    # ---- in-kernel transpose + int4 (1,0) dw1 -----------------------------
+    # dw1 = transpose(aq) @ dh1q is a (1,0) contraction — int4-LEGAL — and
+    # in i4fwd mode both operands are already 4-bit-valued, so if ONE int8
+    # (Pt,H)->(H,Pt) transpose per tile is cheap, the 12.5 ms int8 dw1
+    # falls to the ~7 ms int4 rate with zero quality change.  The round-2
+    # 'i4all' failure was feature-major VALUES feeding elementwise chains;
+    # here only the MXU operand is transposed.
+    aT4p = jnp.clip(jnp.round(
+        jax.random.normal(ks[2], (H, pt)) * 3), -7, 7).astype(jnp.int8)
+
+    def make_tdw1(tr, cast_to):
+        def kern(a_ref, g_ref, out_ref):
+            a = a_ref[:, :]
+            g = g_ref[:, :]
+            aT = jnp.swapaxes(a, 0, 1) if tr else a
+            if cast_to is not None:
+                aT = aT.astype(cast_to)
+                g = g.astype(cast_to)
+            acc = jax.lax.dot_general(
+                aT, g, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out_ref[:, :] = acc[0:8, :].astype(jnp.float32)
+
+        def fn(a, g):
+            return pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[pl.BlockSpec(a.shape, lambda i, j: (0, 0),
+                                       memory_space=vm),
+                          pl.BlockSpec((pt, H), lambda i, j: (0, 0),
+                                       memory_space=vm)],
+                out_specs=pl.BlockSpec((8, H), lambda i, j: (0, 0),
+                                       memory_space=vm),
+                out_shape=jax.ShapeDtypeStruct((8, H), jnp.float32),
+            )(a, g)
+
+        return fn
+
+    # pure (H,Pt)x(Pt,H) (1,0) GEMM rate from a pre-transposed operand
+    scan_time("tdw1-pre-i4", make_tdw1(False, jnp.int4), (aT4p, a4in8),
+              iters)
+    scan_time("tdw1-pre-i8", make_tdw1(False, None), (aT8, a8), iters)
+    # with the in-kernel transpose (the real deployment shape)
+    scan_time("tdw1-tr-i4", make_tdw1(True, jnp.int4), (a4in8, a4in8),
+              iters)
+    scan_time("tdw1-tr-i8", make_tdw1(True, None), (a8, a8), iters)
+
+    # transpose alone (consumed by a row-sum so it cannot be DCE'd)
+    def kern_tr(a_ref, out_ref):
+        aT = jnp.swapaxes(a_ref[:, :], 0, 1)
+        out_ref[:, :] = jnp.sum(aT.astype(jnp.int32), axis=1,
+                                keepdims=True).T
+
+    def tr_only(a):
+        return pl.pallas_call(
+            kern_tr, grid=grid,
+            in_specs=[pl.BlockSpec((pt, H), lambda i, j: (0, 0),
+                                   memory_space=vm)],
+            out_specs=pl.BlockSpec((1, H), lambda i, j: (0, 0),
+                                   memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((1, H), jnp.int32),
+        )(a)
+
+    scan_time("tr-only-i8", tr_only, (a8,), iters)
+
 
 if __name__ == "__main__":
     main()
