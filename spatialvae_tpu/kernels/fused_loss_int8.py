@@ -83,7 +83,14 @@ def _quant_sym4(w: jnp.ndarray):
 # The MXU first-layer build measured SLOWER than the VPU broadcast chain
 # (60.8 vs 58.8 ms at B=2048: two extra per-matmul launches per grid step
 # beat the 3 VPU passes they replace), so it defaults off.
-_GRAD_MODE_DEFAULT = "da0_i4"
+# round-3 default: int4 forward too (46.7 vs 48.5 ms at B=2048).  Quality
+# gates: 30-epoch horizons — fields data max gap 0.107% (epoch-2
+# transient, steady 0.015%), galaxy-proxy data (saturated sigmoids, dark
+# skies) recorded in BASELINE.md — both 10x+ inside the 1% int8 contract.
+# 'i4dw1' (transposed int4 dw1) measured 47.07: the in-kernel transpose's
+# VPU cost eats the MXU saving — the kernel is VMEM-traffic-bound, so
+# only traffic cuts pay from here.
+_GRAD_MODE_DEFAULT = "i4fwd"
 _MXU_BUILD_DEFAULT = False
 # images per grid step (SPATIALVAE_PIPE_IMGS).  Measured at B=2048, pt=1024:
 # depth 2 = 51.2 ms, depth 4 = 48.4 ms, depth 8 = 55.8 ms (VMEM pressure
@@ -187,7 +194,8 @@ class _Phases:
         self.grad_mode = grad_mode
         # a0's dequant step (1/127, or 1/7 when the single quantisation is
         # 4-bit) — used by the dw1 dequant and the tanh' rebuild
-        self.aq_inv = 1.0 / 7.0 if grad_mode == "i4fwd" else 1.0 / 127.0
+        self.aq_inv = (1.0 / 7.0 if grad_mode in ("i4fwd", "i4dw1")
+                       else 1.0 / 127.0)
 
     def p1_h1a1(self):                                       # VPU
         # MEASURED: doing this dequant+tanh in bf16 (int32->bf16 cast, bf16
@@ -241,7 +249,7 @@ class _Phases:
         self.db1 = jnp.sum(dh1, axis=0, keepdims=True)
         m1 = jnp.max(jnp.abs(dh1), axis=0, keepdims=True)    # (1, H)
         maxv = jnp.max(m1, axis=1, keepdims=True) + 1e-30    # (1, 1)
-        if self.grad_mode in ("da0_i4", "i4fwd"):
+        if self.grad_mode != "i8":
             qs = 7.0 / maxv
             self.sg = maxv * (1.0 / 7.0)
             q = dh1 * qs
@@ -249,7 +257,7 @@ class _Phases:
                 q4i8 = _sr_int(q, self.rbits, -7, 7)
             else:
                 q4i8 = jnp.clip(jnp.round(q), -7, 7).astype(jnp.int8)
-            self.dh1q_dw1 = q4i8
+            self.dh1q_dw1 = None if self.grad_mode == "i4dw1" else q4i8
             self.dh1q_da0 = q4i8.astype(self.i4)
             self.dscale = self.sg * self.s4_ref[0:1, :]      # (1, H)
         else:
@@ -290,7 +298,7 @@ class _Phases:
         m1 = jnp.max(jnp.abs(dh1), axis=0, keepdims=True)   # (1, H) bf16
         maxv = jnp.max(m1.astype(jnp.float32), axis=1,
                        keepdims=True) + 1e-30               # (1, 1) f32
-        if self.grad_mode in ("da0_i4", "i4fwd"):
+        if self.grad_mode != "i8":
             if self.rbits is not None:
                 # stochastic rounding: unbiased gradient quantisation
                 qs_b = (7.0 / maxv).astype(jnp.bfloat16)    # (1, 1)
@@ -304,7 +312,7 @@ class _Phases:
                 # Mosaic: round the scaled tile in f32 (one transient pass)
                 q = (dh1 * qs_b).astype(jnp.float32)
                 q4i8 = jnp.clip(jnp.round(q), -7, 7).astype(jnp.int8)
-            self.dh1q_dw1 = q4i8
+            self.dh1q_dw1 = None if self.grad_mode == "i4dw1" else q4i8
             self.dh1q_da0 = q4i8.astype(self.i4)
             self.dscale = self.sg * self.s4_ref[0:1, :]     # (1, H)
         else:
@@ -323,10 +331,25 @@ class _Phases:
             self.dscale = self.sg * self.sw_ref[0, 0]       # (1, 1)
 
     def p6_gemms(self):                                      # MXU
-        self.dw1 = jax.lax.dot_general(                      # (H, H) int8
-            self.aq, self.dh1q_dw1, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32
-        ).astype(jnp.float32) * (self.sg * self.aq_inv)
+        if self.grad_mode == "i4dw1":
+            # dw1 as a (1,0) contraction — the one pattern Mosaic lowers
+            # in int4 — from ONE int8->int4 transposed copy of aq; the
+            # int4 dh1 tile da0 already consumes doubles as the RHS, so
+            # the separate int8 dh1q copy disappears entirely.  Measured
+            # (tools/probe_int4.py, pt=1024): (0,0) int8 12.9 ms,
+            # pre-transposed (1,0) int4 8.2, with in-kernel transpose
+            # 11.3 — the swap+cast costs ~3 ms but still nets positive,
+            # and values are identical to i4fwd's (aq is already 4-bit).
+            aqT = jnp.swapaxes(self.aq, 0, 1).astype(self.i4)   # (H, Pt)
+            self.dw1 = jax.lax.dot_general(                  # (H, H) int4
+                aqT, self.dh1q_da0, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (self.sg * self.aq_inv)
+        else:
+            self.dw1 = jax.lax.dot_general(                  # (H, H) int8
+                self.aq, self.dh1q_dw1, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (self.sg * self.aq_inv)
         wk = self.w1q_ref if self.grad_mode == "i8" else self.w4s
         self.da0 = jax.lax.dot_general(                      # (Pt, H)
             self.dh1q_da0, wk[:, :], (((1,), (1,)), ((), ())),
@@ -400,7 +423,7 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
         @pl.when(jnp.logical_and(i == 0, j == 0))
         def _():
             w4s[:, :] = w1q4_ref[:, :].astype(i4)
-            if grad_mode == "i4fwd":
+            if grad_mode in ("i4fwd", "i4dw1"):
                 w4fs[:, :] = w1q_ref[:, :].astype(i4)
 
     def build(r):
@@ -421,7 +444,7 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
             h0 = (x0 * f_ref[r, 0:1, :] + x1 * f_ref[r, 1:2, :]
                   + f_ref[r, 2:3, :]).astype(jnp.float32)
         a0 = tanh_fn(h0)
-        if grad_mode == "i4fwd":
+        if grad_mode in ("i4fwd", "i4dw1"):
             # single 4-bit activation quantisation: the int4 fwd GEMM,
             # the dw1 GEMM and the tanh' rebuild all consume it.  With SR
             # the 4-bit forward is UNBIASED per element (|a0| <= 1 exactly,
@@ -552,7 +575,7 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
     interpret = interpret or os.environ.get("SPATIALVAE_INTERPRET") == "1"
 
     f32 = jnp.float32
-    if grad_mode == "i4fwd":
+    if grad_mode in ("i4fwd", "i4dw1"):
         # fwd GEMM in int4 too: per-COLUMN (fan-out) W1 scales ride as a
         # per-column dequant row on h1; the w1q input slot carries the
         # 4-bit-valued container the kernel casts into the fwd scratch
