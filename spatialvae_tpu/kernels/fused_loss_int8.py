@@ -87,15 +87,22 @@ def _quant_sym4(w: jnp.ndarray):
 # gates: 30-epoch horizons — fields data max gap 0.107% (epoch-2
 # transient, steady 0.015%), galaxy-proxy data (saturated sigmoids, dark
 # skies) recorded in BASELINE.md — both 10x+ inside the 1% int8 contract.
-# 'i4dw1' (transposed int4 dw1) measured 47.07: the in-kernel transpose's
-# VPU cost eats the MXU saving — the kernel is VMEM-traffic-bound, so
-# only traffic cuts pay from here.
-_GRAD_MODE_DEFAULT = "i4fwd"
+# Under the 'tile' gradient scale 'i4dw1' (transposed int4 dw1) measured
+# 47.07 — the in-kernel transpose's VPU cost ate the MXU saving.  Under
+# 'bound' (see _GSCALE_DEFAULT) the ranking flips: i4dw1 needs NO int8
+# gradient copy at all (the single int4 tile feeds da0 and, transposed,
+# dw1), and bound+i4dw1 measured 42.03 vs 46.70 ms — the round-3 default
+# pair (same horizon gates re-run, recorded in BASELINE.md).
+_GRAD_MODE_DEFAULT = "i4dw1"
 _MXU_BUILD_DEFAULT = False
-# images per grid step (SPATIALVAE_PIPE_IMGS).  Measured at B=2048, pt=1024:
-# depth 2 = 51.2 ms, depth 4 = 48.4 ms, depth 8 = 55.8 ms (VMEM pressure
-# breaks Mosaic's block double-buffering) — 4 is the sweet spot.
-_PIPE_IMGS_DEFAULT = "4"
+# images per grid step (SPATIALVAE_PIPE_IMGS).  Measured at B=2048, pt=1024
+# under the round-2 'tile' gradient scale: depth 2 = 51.2 ms, 4 = 48.4,
+# 8 = 55.8 (VMEM pressure breaks Mosaic's block double-buffering).  Under
+# the round-3 bound+i4dw1 default the per-image transient set shrinks (no
+# dh1/da1-bf16/int8-q materialisations), and the ranking flips: depth
+# 8 = 40.3 ms vs depth 4 = 42.0 — deeper stagger now fits VMEM and buys
+# more MXU/VPU overlap.  Re-sweep after any change to the p4-p6 transients.
+_PIPE_IMGS_DEFAULT = "8"
 # tanh engine for the two in-kernel activation sites (SPATIALVAE_TANH):
 # 'exact' = jnp.tanh; 'pade' = clamped Padé(5,4) with an approximate VPU
 # reciprocal.  MEASURED: pade is much SLOWER (63.2 vs 48.5 ms at B=2048)
@@ -111,6 +118,33 @@ _TANH_MODE_DEFAULT = "exact"
 # (repacking overhead), which was measured for build/p1 but never for the
 # epilogue.  f32 also drops the bf16 quant-scale dance (exact f32 scale).
 _EPI_DEFAULT = "bf16"
+# gradient-quant scale engine (SPATIALVAE_GSCALE):
+#   'tile'  — round-2 behaviour: per-tile max|dh1| (one abs+max reduce pass
+#             plus a separate scale/round pass over every (Pt, H) tile).
+#   'bound' — analytic per-step bound (host side) tightened per-tile by
+#             max|dz2| in-kernel:
+#                 |dh1| <= |da1| <= max|dz2_tile| * max_j sum_i |wht[i,j]|
+#             so the quant scale needs NO (Pt, H) reduce (dz2 is 2 orders
+#             smaller) and the whole p5 chain collapses to ONE fused pass
+#             from the f32 da1 accumulator straight to the int tile — no
+#             dh1 materialisation, no separate scale pass, and p4's bf16
+#             cast pass disappears too.  db1 sums the pre-round scaled
+#             tile (exact modulo bf16 tanh'), so db1 carries no int4
+#             noise.  The bound rides the otherwise-unused sw SMEM slot,
+#             keeping the operand list unchanged (adding operands
+#             measurably broke XLA-side fusion around the pallas_call in
+#             round 2).  The cost is a coarser quant step (bound / actual
+#             tile max typically 2-5x, i.e. 1-2 effective bits of the
+#             int4 gradient) — a QUALITY trade gated by the 30-epoch
+#             horizon runs like every other int4 lever.
+#             MEASURED (B=2048, pt=1024): tile/i4fwd 46.70; bound/i4fwd
+#             45.48; bound/i4dw1 42.03 (DEFAULT — i4dw1's single int4
+#             gradient tile is exactly what bound's one-pass chain emits;
+#             the f32-CAST variant of this chain was SLOWER, 47.63: read
+#             the f32 accumulator, do not cast up a bf16 copy).
+#             i4-family grad modes only (i8 and da0_i4 carry w1's
+#             per-tensor scale in sw).
+_GSCALE_DEFAULT = "bound"
 # stochastic rounding default (SPATIALVAE_SR); see _lossgrad_pallas.
 # NOTE: pltpu.stochastic_round only targets float dtypes (bf16/fp8) in
 # this runtime, so integer SR is implemented manually as floor(x + u)
@@ -173,10 +207,12 @@ class _Phases:
 
     def __init__(self, r, aq, acc, sw_ref, h1s_ref, b1_ref, wht_ref,
                  bht_ref, yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4,
-                 grad_mode, tanh_fn=jnp.tanh, rbits=None, epi="bf16"):
+                 grad_mode, tanh_fn=jnp.tanh, rbits=None, epi="bf16",
+                 gscale="tile"):
         self.tanh = tanh_fn
         self.rbits = rbits      # (Pt, H) uint32: stochastic-round bits
         self.epi = epi          # epilogue elementwise dtype mode
+        self.gscale = gscale    # gradient-quant scale engine (see top)
         self.r = r
         self.aq = aq            # (Pt, H) int8 (i4fwd: 4-bit values)
         self.acc = acc
@@ -238,7 +274,11 @@ class _Phases:
         da1 = jax.lax.dot_general(                           # (Pt, H)
             self.dz2c, self.wht_ref[:, :], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        self.da1 = da1 if self.epi == "f32" else da1.astype(jnp.bfloat16)
+        # bound-gscale consumes the accumulator as-is: its single fused
+        # p5 chain casts the tanh' factor up in-chain instead, so the
+        # separate (Pt, H) bf16 cast pass here disappears
+        keep_f32 = self.epi == "f32" or self.gscale == "bound"
+        self.da1 = da1 if keep_f32 else da1.astype(jnp.bfloat16)
 
     def p5_dh1_f32(self):                                    # VPU, f32
         """f32-epilogue variant of p5: tanh'/quant chain entirely in f32
@@ -272,7 +312,58 @@ class _Phases:
             self.dh1q_da0 = q8
             self.dscale = self.sg * self.sw_ref[0, 0]        # (1, 1)
 
+    def p5_dh1_bound(self):                                  # VPU, 1 pass
+        """Bound-scale variant: the quant scale is the host-computed
+        analytic bound riding sw (|dh1| <= max_j sum_i |wht[i,j]|, see
+        _GSCALE_DEFAULT), so the chain needs no (Pt, H) reduce, no dh1
+        materialisation and no separate scale pass — one fused chain from
+        da1 straight to the int tile.  db1 sums the PRE-round scaled tile
+        (q * qs is exact dh1 modulo bf16 rounding — db1 carries no int4
+        noise).  dbht stays exact (its (No, Pt) tile is 2 orders smaller).
+
+        MEASURED (B=2048, pt=1024): the f32 version of this chain
+        (casting da1/a1c up) was SLOWER than tile mode (47.63 vs 46.70,
+        i4fwd) — the casts are 2 extra full passes; the bf16 chain below
+        with i4dw1 (which needs no int8 gradient copy at all) measured
+        43.74 ms vs 46.70.  Keep the chain in the epilogue dtype."""
+        self.dbht = jnp.sum(self.dz2, axis=1, keepdims=True)
+        gb = self.sw_ref[0, 0]                               # f32 scalar
+        # tighten per-tile with the dz2 magnitude (the dominant variance):
+        # |da1[p, j]| <= max|dz2_tile| * sum_i |wht[i, j]| <= mdz * gb.
+        # dz2 is (No, Pt) — 2 orders smaller than the (Pt, H) tiles, so
+        # this reduce is ~free where the tile-mode max over dh1 is a full
+        # (Pt, H) pass
+        mdz = jnp.max(jnp.abs(self.dz2)) + 1e-30
+        lv = 7.0 if self.grad_mode != "i8" else 127.0
+        qs = lv / (gb * mdz)
+        self.sg = gb * mdz * (1.0 / lv)                      # exact inverse
+        if self.epi == "f32":
+            q = (self.da1 * (1.0 - self.a1f * self.a1f)) * qs
+        else:
+            # da1 arrives as the f32 matmul accumulator (p4 skips its bf16
+            # cast pass under bound); the tanh' factor is a bf16 FMA cast
+            # up in-chain — one fused pass, f32 round (bf16 roundeven does
+            # not legalize)
+            one = jnp.bfloat16(1.0)
+            t = (one - self.a1c * self.a1c).astype(jnp.float32)
+            q = (self.da1 * t) * qs
+        self.db1 = jnp.sum(q, axis=0, keepdims=True) * self.sg
+        if self.rbits is not None:
+            qi = _sr_int(q, self.rbits, -lv, lv)
+        else:
+            qi = jnp.clip(jnp.round(q), -lv, lv).astype(jnp.int8)
+        if self.grad_mode != "i8":
+            self.dh1q_dw1 = None if self.grad_mode == "i4dw1" else qi
+            self.dh1q_da0 = qi.astype(self.i4)
+            self.dscale = self.sg * self.s4_ref[0:1, :]      # (1, H)
+        else:
+            self.dh1q_dw1 = qi
+            self.dh1q_da0 = qi
+            self.dscale = jnp.reshape(self.sg, (1, 1))
+
     def p5_dh1(self):                                        # VPU
+        if self.gscale == "bound":
+            return self.p5_dh1_bound()
         if self.epi == "f32":
             return self.p5_dh1_f32()
         self.dbht = jnp.sum(self.dz2, axis=1, keepdims=True)
@@ -389,7 +480,8 @@ class _Phases:
 def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
             b1_ref, wht_ref, bht_ref, yt_ref, df_ref, dw1_ref, db1_ref,
             dwht_ref, dbht_ref, w4s, w4fs, *, i4, grad_mode, mxu_build,
-            n_img, tanh_fn=jnp.tanh, use_sr=False, epi="bf16"):
+            n_img, tanh_fn=jnp.tanh, use_sr=False, epi="bf16",
+            gscale="tile"):
     """Grid (B//n_img, tiles): n_img images x one pixel tile per step.
 
     Straight-line body (no control flow until the accumulator writes) so
@@ -454,6 +546,11 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
                 aq = _sr_int(a0 * 7.0, rbits, -7, 7)
             else:
                 aq = jnp.clip(jnp.round(a0 * 7.0), -7, 7).astype(jnp.int8)
+            # NEGATIVE (round 3): storing aq directly as int4 here (to
+            # kill the separate int8->int4 cast pass and halve p6's
+            # transpose bytes in i4dw1) does NOT compile — Mosaic rejects
+            # tpu.transpose on int4 vectors ("Unsupported type in
+            # transpose"), so i4dw1's aqT must transpose the int8 values
             acc = jax.lax.dot_general(                       # int4 x int4
                 aq.astype(i4), w4fs[:, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
@@ -479,7 +576,7 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
     ss = [
         _Phases(r, aq, acc, sw_ref, h1s_ref, b1_ref, wht_ref, bht_ref,
                 yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode,
-                tanh_fn=tanh_fn, rbits=rbits, epi=epi)
+                tanh_fn=tanh_fn, rbits=rbits, epi=epi, gscale=gscale)
         for r, (aq, acc) in enumerate(built)
     ]
     seq = ("p1_h1a1", "p2_head", "p3_bce", "p4_headbwd", "p5_dh1",
@@ -574,6 +671,13 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
     # virtual devices, while per-call interpret stays fast.
     interpret = interpret or os.environ.get("SPATIALVAE_INTERPRET") == "1"
 
+    # gradient-quant scale engine; 'bound' needs the sw slot free, so it
+    # is restricted to the modes whose sw is otherwise unused ('i8' and
+    # 'da0_i4' carry w1's per-tensor scale there)
+    gscale = os.environ.get("SPATIALVAE_GSCALE", _GSCALE_DEFAULT)
+    if grad_mode not in ("i4fwd", "i4dw1"):
+        gscale = "tile"
+
     f32 = jnp.float32
     if grad_mode in ("i4fwd", "i4dw1"):
         # fwd GEMM in int4 too: per-COLUMN (fan-out) W1 scales ride as a
@@ -582,7 +686,12 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
         wf4t, sf4 = _quant_sym4(w1.T)
         w1q = wf4t.T
         h1s = sf4 * (1.0 / 7.0)                              # (1, H)
-        sw = jnp.ones((1, 1), f32)                           # unused
+        if gscale == "bound":
+            # |dh1| <= max_j sum_i |wht[i,j]| — ride the unused sw slot
+            sw = (jnp.max(jnp.sum(jnp.abs(wht.astype(f32)), axis=0))
+                  + 1e-30).reshape(1, 1)
+        else:
+            sw = jnp.ones((1, 1), f32)                       # unused
     else:
         w1q, sw = _quant_sym(w1)
         h1s = jnp.broadcast_to(
@@ -638,7 +747,8 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
     return pl.pallas_call(
         functools.partial(_kernel, i4=i4, grad_mode=grad_mode,
                           mxu_build=mxu_build, n_img=n_img,
-                          tanh_fn=tanh_fn, use_sr=use_sr, epi=epi),
+                          tanh_fn=tanh_fn, use_sr=use_sr, epi=epi,
+                          gscale=gscale),
         grid=(b // n_img, tiles),
         in_specs=[
             pl.BlockSpec((pt, 4), lambda i, j: (j, 0), memory_space=vm),

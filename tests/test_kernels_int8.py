@@ -294,6 +294,62 @@ def test_fused_loss_int8_bce_and_grads_close_to_f32(mode, pipe, bce_band,
             assert float(a.ravel() @ r.ravel() / denom) > cos_band
 
 
+@pytest.mark.parametrize("gmode", ["i4fwd", "i4dw1"])
+def test_fused_loss_int8_bound_gscale_close_to_tile(gmode, monkeypatch):
+    """GSCALE=bound (analytic per-step gradient scale, single-pass p5)
+    must stay within int4-noise distance of the f32 reference: the bound
+    is coarser than the per-tile max, so bands are the loose toy-scale
+    ones, plus a hard guarantee check — |dh1*qs| <= 7 means no clipping,
+    so the BCE (untouched by the gradient scale) stays i4fwd-exact."""
+    from spatialvae_tpu.kernels.fused_loss_int8 import fused_bce_spatial_int8
+
+    monkeypatch.setenv("SPATIALVAE_INT4_GRADS", gmode)
+    monkeypatch.setenv("SPATIALVAE_PIPE_IMGS", "4")
+    cfg = SpatialGeneratorConfig(latent_dim=4, hidden_dim=32, n_out=2,
+                                 num_layers=2)
+    params = spatial_generator_init(jax.random.PRNGKey(0), cfg)
+    b, hw = 4, 1024
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    coords = jax.random.uniform(ks[0], (hw, 2), minval=-1, maxval=1)
+    theta = jax.random.normal(ks[1], (b,)) * 0.5
+    dx = jax.random.normal(ks[2], (b, 2)) * 0.1
+    z = jax.random.normal(ks[3], (b, 4))
+    y = jax.random.uniform(ks[4], (b, hw, 2))
+
+    def bce_ref(p, th, d, zz):
+        yh = spatial_generator_apply_folded(p, cfg, coords, th, d, zz)
+        log_y = jnp.clip(jnp.log(yh), -100.0, None)
+        log_1my = jnp.clip(jnp.log1p(-yh), -100.0, None)
+        return -jnp.sum(y * log_y + (1.0 - y) * log_1my)
+
+    def bce_fused(p, th, d, zz):
+        return fused_bce_spatial_int8(p, cfg, coords, th, d, zz, y,
+                                      interpret=True)
+
+    v_ref, g_ref = jax.value_and_grad(bce_ref, argnums=(0, 1, 2, 3))(
+        params, theta, dx, z)
+
+    monkeypatch.setenv("SPATIALVAE_GSCALE", "bound")
+    v_b, g_b = jax.value_and_grad(bce_fused, argnums=(0, 1, 2, 3))(
+        params, theta, dx, z)
+    monkeypatch.setenv("SPATIALVAE_GSCALE", "tile")
+    v_t, _ = jax.value_and_grad(bce_fused, argnums=(0, 1, 2, 3))(
+        params, theta, dx, z)
+
+    # forward path is identical in both gscale modes
+    assert float(v_b) == float(v_t)
+    assert abs(float(v_b - v_ref) / float(v_ref)) < 5e-3
+    for a, r in zip(jax.tree_util.tree_leaves(g_b),
+                    jax.tree_util.tree_leaves(g_ref)):
+        a = np.asarray(a)
+        r = np.asarray(r)
+        rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-12)
+        assert rel < 0.6, rel
+        denom = np.linalg.norm(a.ravel()) * np.linalg.norm(r.ravel())
+        if denom > 1e-8:
+            assert float(a.ravel() @ r.ravel() / denom) > 0.9
+
+
 @pytest.mark.parametrize("mode,pipe,rel_band,cos_band", [
     ("i8", "2", 5e-2, 0.995),
     # all-int4 gradient GEMMs (the feature-major layout's raison d'etre):
