@@ -145,6 +145,24 @@ _EPI_DEFAULT = "bf16"
 #             i4-family grad modes only (i8 and da0_i4 carry w1's
 #             per-tensor scale in sw).
 _GSCALE_DEFAULT = "bound"
+# int8 hidden activation a1 (SPATIALVAE_A1Q): quantize a1 with the STATIC
+# tanh scale (|a1| <= 1 -> scale 127) so the head forward GEMM, dwht and
+# da1 all run int8 and every consumer of the (Pt, H) a1 tile reads int8
+# (0.5 MB) instead of bf16 (1 MB) — the kernel's VPU exposure is at the
+# single-touch VMEM-traffic floor, so the remaining lever is narrower
+# tiles.  dz2 is quantized per-tile too ((No, Pt) — 2 orders smaller,
+# ~free); its 8-bit noise reaches da1 at ~3% of the int4 dh1 quant step.
+# The forward BCE picks up 8-bit a1/wht rounding (16x finer than i4fwd's
+# 4-bit forward noise, which already gated fine).  Only wired for the
+# bound+bf16-epilogue i4 stack (the default).
+# MEASURED (B=2048): SLOWER despite the 2 MB/image-tile traffic saving —
+# 45.23 ms (pt1024/d8) / 47.07 (d4) / 45.49 (pt2048) vs 40.32 baseline.
+# Same failure class as 'i4all' and the transposed kernel: one int8 tile
+# feeding MXU ops with DIFFERENT contraction patterns ((1,1) head fwd,
+# (1,0) dwht) plus the K=3 (0,0) int8 da1 forces whole-tile relayouts
+# that swamp the VPU byte saving.  Kept default-off for future Mosaic
+# releases; interpret-mode parity pinned in tests/test_kernels_int8.py.
+_A1Q_DEFAULT = "0"
 # stochastic rounding default (SPATIALVAE_SR); see _lossgrad_pallas.
 # NOTE: pltpu.stochastic_round only targets float dtypes (bf16/fp8) in
 # this runtime, so integer SR is implemented manually as floor(x + u)
@@ -208,11 +226,12 @@ class _Phases:
     def __init__(self, r, aq, acc, sw_ref, h1s_ref, b1_ref, wht_ref,
                  bht_ref, yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4,
                  grad_mode, tanh_fn=jnp.tanh, rbits=None, epi="bf16",
-                 gscale="tile"):
+                 gscale="tile", a1q=False):
         self.tanh = tanh_fn
         self.rbits = rbits      # (Pt, H) uint32: stochastic-round bits
         self.epi = epi          # epilogue elementwise dtype mode
         self.gscale = gscale    # gradient-quant scale engine (see top)
+        self.a1q = a1q          # int8 a1 (see SPATIALVAE_A1Q at top)
         self.r = r
         self.aq = aq            # (Pt, H) int8 (i4fwd: 4-bit values)
         self.acc = acc
@@ -240,15 +259,29 @@ class _Phases:
         h1 = (self.acc.astype(jnp.float32) * self.h1s_ref[0:1, :]
               + self.b1_ref[0:1, :])
         a1 = self.tanh(h1)
-        self.a1c = a1.astype(self.wht_ref.dtype)             # (Pt, H)
+        if self.a1q:
+            # int8 a1 (static tanh scale): the head GEMM, dwht and da1 all
+            # go int8 and every consumer of this tile reads half the bytes
+            self.a1c = jnp.clip(jnp.round(a1 * 127.0), -127, 127
+                                ).astype(jnp.int8)           # (Pt, H) int8
+        else:
+            self.a1c = a1.astype(self.wht_ref.dtype)         # (Pt, H)
         # f32 epilogue keeps the full-precision activation alive for p5's
         # tanh' chain (no bf16 repacking there); ~2 MB/img extra VMEM
         self.a1f = a1 if self.epi == "f32" else None
 
     def p2_head(self):                                       # MXU
-        z2 = jax.lax.dot_general(                            # (No, Pt)
-            self.wht_ref[:, :], self.a1c, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if self.a1q:
+            acc2 = jax.lax.dot_general(                      # (No, Pt) i32
+                self.wht_ref[:, :], self.a1c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            # dequant: swht (per-tensor head scale) rides sw[0, 1]
+            c = self.sw_ref[0, 1] * (1.0 / 127.0)
+            z2 = acc2.astype(jnp.float32) * c
+        else:
+            z2 = jax.lax.dot_general(                        # (No, Pt)
+                self.wht_ref[:, :], self.a1c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         self.z2 = z2 + self.bht_ref[:, 0:1].astype(jnp.float32)
 
     def p3_bce(self):                                        # VPU (tiny)
@@ -261,24 +294,46 @@ class _Phases:
         # d bce / d z2 = s - y, except 0 where sigmoid saturates exactly
         dz2 = jnp.where(sig * (1.0 - sig) == 0.0, 0.0, sig - yt)
         self.dz2 = dz2
-        self.dz2c = dz2.astype(self.wht_ref.dtype)
+        if self.a1q:
+            # quantize the head cotangent too (it is (No, Pt) — 2 orders
+            # smaller than the hidden tiles, so this pass is ~free); its
+            # 8-bit noise is ~3% of the downstream int4 dh1 quant step
+            self.mdz = jnp.max(jnp.abs(dz2)) + 1e-30
+            self.sdz = self.mdz * (1.0 / 127.0)
+            self.dz2c = jnp.clip(jnp.round(dz2 * (127.0 / self.mdz)),
+                                 -127, 127).astype(jnp.int8)
+        else:
+            self.dz2c = dz2.astype(self.wht_ref.dtype)
 
     def p4_headbwd(self):                                    # MXU
+        if self.a1q:
+            dwht = jax.lax.dot_general(                      # (No, H) i32
+                self.dz2c, self.a1c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            self.dwht = dwht.astype(jnp.float32) * (self.sdz
+                                                    * (1.0 / 127.0))
+            # (0, 0) int8 contraction is legal (the dw1 precedent); the
+            # raw i32 accumulator flows to p5, scales folded there
+            self.da1 = jax.lax.dot_general(                  # (Pt, H) i32
+                self.dz2c, self.wht_ref[:, :], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return
         self.dwht = jax.lax.dot_general(                     # (No, H)
             self.dz2c, self.a1c, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        # bf16 da1 halves the largest transient (Mosaic needs a 32-bit
-        # matmul acc, so cast right after); dh1 is int8-quantised next, so
-        # the 0.4% rounding is below the quant noise.  The f32 epilogue
-        # keeps the accumulator as-is — one fewer pass.
+        # NEGATIVE (round 3): emitting da1 bf16 straight from the matmul
+        # (preferred_element_type=bfloat16, to halve p5's dominant read)
+        # does not compile — 'tpu.matmul' op Expected matmul acc to be
+        # 32-bit; Mosaic requires f32/i32 accumulators unconditionally
+        # (same wall as the int16-acc probe, tools/probe_i16acc.py)
         da1 = jax.lax.dot_general(                           # (Pt, H)
             self.dz2c, self.wht_ref[:, :], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         # bound-gscale consumes the accumulator as-is: its single fused
         # p5 chain casts the tanh' factor up in-chain instead, so the
         # separate (Pt, H) bf16 cast pass here disappears
-        keep_f32 = self.epi == "f32" or self.gscale == "bound"
-        self.da1 = da1 if keep_f32 else da1.astype(jnp.bfloat16)
+        keep = self.epi == "f32" or self.gscale == "bound"
+        self.da1 = da1 if keep else da1.astype(jnp.bfloat16)
 
     def p5_dh1_f32(self):                                    # VPU, f32
         """f32-epilogue variant of p5: tanh'/quant chain entirely in f32
@@ -333,25 +388,49 @@ class _Phases:
         # dz2 is (No, Pt) — 2 orders smaller than the (Pt, H) tiles, so
         # this reduce is ~free where the tile-mode max over dh1 is a full
         # (Pt, H) pass
-        mdz = jnp.max(jnp.abs(self.dz2)) + 1e-30
+        mdz = (self.mdz if self.a1q
+               else jnp.max(jnp.abs(self.dz2)) + 1e-30)
         lv = 7.0 if self.grad_mode != "i8" else 127.0
         qs = lv / (gb * mdz)
         self.sg = gb * mdz * (1.0 / lv)                      # exact inverse
-        if self.epi == "f32":
+        if self.a1q:
+            # da1 arrives as the RAW i32 int8-GEMM accumulator; its
+            # dequant (sdz * swht) folds into the quant scale, and the
+            # tanh' factor rebuilds from the int8 a1 (half the read of
+            # the bf16 tile).  gb is computed from the DEQUANTIZED head
+            # weights host-side, so the bound covers the int8 rounding
+            # (the clip covers the half-ulp epsilon).
+            cfac = qs * (self.sdz * self.sw_ref[0, 1])
+            a1d = self.a1c.astype(jnp.float32) * (1.0 / 127.0)
+            q = (self.da1.astype(jnp.float32)
+                 * (1.0 - a1d * a1d)) * cfac
+        elif self.epi == "f32":
             q = (self.da1 * (1.0 - self.a1f * self.a1f)) * qs
         else:
-            # da1 arrives as the f32 matmul accumulator (p4 skips its bf16
-            # cast pass under bound); the tanh' factor is a bf16 FMA cast
-            # up in-chain — one fused pass, f32 round (bf16 roundeven does
-            # not legalize)
+            # the tanh' factor is a bf16 FMA cast up in-chain — one fused
+            # pass, f32 round (bf16 roundeven does not legalize)
             one = jnp.bfloat16(1.0)
-            t = (one - self.a1c * self.a1c).astype(jnp.float32)
-            q = (self.da1 * t) * qs
-        self.db1 = jnp.sum(q, axis=0, keepdims=True) * self.sg
+            t = one - self.a1c * self.a1c
+            q = (self.da1 * t).astype(jnp.float32) * qs
+        # NEGATIVE (round 3): summing db1 from the POST-round int tile
+        # (SPATIALVAE_DB1=qi) measured SLOWER (43.00 vs 41.81 ms at
+        # B=2048) — Mosaic already streams q's chain into both consumers
+        # in one pass, so the "saved" recompute was free and the extra
+        # int8 read+widen was pure cost.  Keep the exact pre-round sum.
+        if os.environ.get("SPATIALVAE_DB1", "chain") == "qi":
+            db1_src = None
+        else:
+            db1_src = jnp.sum(q, axis=0, keepdims=True) * self.sg
         if self.rbits is not None:
             qi = _sr_int(q, self.rbits, -lv, lv)
         else:
+            # keep the "redundant" clip (|q| <= lv is guaranteed by the
+            # bound): clip+round+cast lowers to a cheap saturating
+            # convert — round+cast WITHOUT the clip measured 1.5 ms
+            # SLOWER (41.80 vs 40.28 at B=2048), at both quant sites
             qi = jnp.clip(jnp.round(q), -lv, lv).astype(jnp.int8)
+        self.db1 = (jnp.sum(qi.astype(jnp.float32), axis=0, keepdims=True)
+                    * self.sg if db1_src is None else db1_src)
         if self.grad_mode != "i8":
             self.dh1q_dw1 = None if self.grad_mode == "i4dw1" else qi
             self.dh1q_da0 = qi.astype(self.i4)
@@ -481,7 +560,7 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
             b1_ref, wht_ref, bht_ref, yt_ref, df_ref, dw1_ref, db1_ref,
             dwht_ref, dbht_ref, w4s, w4fs, *, i4, grad_mode, mxu_build,
             n_img, tanh_fn=jnp.tanh, use_sr=False, epi="bf16",
-            gscale="tile"):
+            gscale="tile", a1q=False):
     """Grid (B//n_img, tiles): n_img images x one pixel tile per step.
 
     Straight-line body (no control flow until the accumulator writes) so
@@ -545,6 +624,8 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
             if rbits is not None:
                 aq = _sr_int(a0 * 7.0, rbits, -7, 7)
             else:
+                # the clip is value-redundant (|tanh| <= 1) but SPEED-
+                # positive: see the saturating-convert note in p5
                 aq = jnp.clip(jnp.round(a0 * 7.0), -7, 7).astype(jnp.int8)
             # NEGATIVE (round 3): storing aq directly as int4 here (to
             # kill the separate int8->int4 cast pass and halve p6's
@@ -576,7 +657,8 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
     ss = [
         _Phases(r, aq, acc, sw_ref, h1s_ref, b1_ref, wht_ref, bht_ref,
                 yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode,
-                tanh_fn=tanh_fn, rbits=rbits, epi=epi, gscale=gscale)
+                tanh_fn=tanh_fn, rbits=rbits, epi=epi, gscale=gscale,
+                a1q=a1q)
         for r, (aq, acc) in enumerate(built)
     ]
     seq = ("p1_h1a1", "p2_head", "p3_bce", "p4_headbwd", "p5_dh1",
@@ -678,7 +760,22 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
     if grad_mode not in ("i4fwd", "i4dw1"):
         gscale = "tile"
 
+    # int8 a1 (SPATIALVAE_A1Q): the hidden activation is quantized with
+    # the static tanh scale so the head fwd GEMM, dwht and da1 run int8
+    # and all three consumers of the (Pt, H) a1 tile read half the bytes.
+    # Only wired for the bound-gscale bf16-epilogue i4 stack (the default).
+    a1q = (os.environ.get("SPATIALVAE_A1Q", _A1Q_DEFAULT) == "1"
+           and gscale == "bound"
+           and os.environ.get("SPATIALVAE_EPI", _EPI_DEFAULT) != "f32")
+
     f32 = jnp.float32
+    swht = None
+    if a1q:
+        whtq, s_wht = _quant_sym(wht)
+        swht = jnp.asarray(s_wht, f32).reshape(())
+        wht_op = whtq                                        # int8 (No, H)
+    else:
+        wht_op = wht
     if grad_mode in ("i4fwd", "i4dw1"):
         # fwd GEMM in int4 too: per-COLUMN (fan-out) W1 scales ride as a
         # per-column dequant row on h1; the w1q input slot carries the
@@ -687,15 +784,26 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
         w1q = wf4t.T
         h1s = sf4 * (1.0 / 7.0)                              # (1, H)
         if gscale == "bound":
-            # |dh1| <= max_j sum_i |wht[i,j]| — ride the unused sw slot
-            sw = (jnp.max(jnp.sum(jnp.abs(wht.astype(f32)), axis=0))
-                  + 1e-30).reshape(1, 1)
+            # |dh1| <= max_j sum_i |wht[i,j]| — ride the sw slot (col 0);
+            # under a1q the bound is over the DEQUANTIZED int8 head
+            # weights and swht rides col 1 for the in-kernel dequants
+            if a1q:
+                gb = (jnp.max(jnp.sum(jnp.abs(
+                    whtq.astype(f32)), axis=0)) * swht + 1e-30)
+                sw = jnp.stack([gb, swht]).reshape(1, 2)
+            else:
+                gb = (jnp.max(jnp.sum(jnp.abs(wht.astype(f32)), axis=0))
+                      + 1e-30)
+                sw = jnp.stack([gb, jnp.float32(1.0)]).reshape(1, 2)
         else:
-            sw = jnp.ones((1, 1), f32)                       # unused
+            sw = jnp.ones((1, 2), f32)                       # unused
     else:
-        w1q, sw = _quant_sym(w1)
+        w1q, sw1 = _quant_sym(w1)
+        sw = jnp.stack([jnp.asarray(sw1, f32).reshape(()),
+                        jnp.float32(1.0)]).reshape(1, 2)
         h1s = jnp.broadcast_to(
-            sw.reshape(1, 1) * (1.0 / 127.0), (1, h)).astype(f32)
+            jnp.asarray(sw1, f32).reshape(1, 1) * (1.0 / 127.0),
+            (1, h)).astype(f32)
     if grad_mode == "i8":
         w1q4, s4 = w1q, jnp.ones((1, h), f32)                # unused slots
     else:
@@ -748,14 +856,14 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
         functools.partial(_kernel, i4=i4, grad_mode=grad_mode,
                           mxu_build=mxu_build, n_img=n_img,
                           tanh_fn=tanh_fn, use_sr=use_sr, epi=epi,
-                          gscale=gscale),
+                          gscale=gscale, a1q=a1q),
         grid=(b // n_img, tiles),
         in_specs=[
             pl.BlockSpec((pt, 4), lambda i, j: (j, 0), memory_space=vm),
             pl.BlockSpec((n_img, 4, h), lambda i, j: (i, 0, 0),
                          memory_space=vm),
             pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
@@ -779,7 +887,7 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
                 40 if n_img <= 2 else (80 if pt <= 1024 else 112)
             )) * 1024 * 1024),
         interpret=interpret,
-    )(x3, fold, w1q, sw, h1s, w1q4, s4, b1, wht, bht, y_t)
+    )(x3, fold, w1q, sw, h1s, w1q4, s4, b1, wht_op, bht, y_t)
 
 
 # ---------------------------------------------------------------------------
