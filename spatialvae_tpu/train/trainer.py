@@ -310,15 +310,18 @@ class Trainer:
             def body(carry, ib):
                 st, k = carry
                 k, sub = jax.random.split(k)
-                y = jnp.take(data, ib, axis=0)
+                # mode='clip': batch indices come from a permutation and
+                # are in-bounds by construction; jnp.take's default 'fill'
+                # adds a per-batch select pass over every gathered tile
+                y = jnp.take(data, ib, axis=0, mode='clip')
                 y_t = (None if data_t is None
-                       else jnp.take(data_t, ib, axis=0))
+                       else jnp.take(data_t, ib, axis=0, mode='clip'))
                 ctf = (None if ctf_data is None
-                       else jnp.take(ctf_data, ib, axis=0))
+                       else jnp.take(ctf_data, ib, axis=0, mode='clip'))
                 if data_q8 is None:
                     st, aux = train_step(st, y, ctf, sub, z_scale, y_t)
                 else:
-                    y_q8 = (jnp.take(data_q8[0], ib, axis=0), data_q8[1])
+                    y_q8 = (jnp.take(data_q8[0], ib, axis=0, mode='clip'), data_q8[1])
                     st, aux = train_step(st, y, ctf, sub, z_scale, y_t,
                                          y_q8)
                 return (st, k), aux
@@ -329,11 +332,11 @@ class Trainer:
                             z_scale):
             def body(k, ib):
                 k, sub = jax.random.split(k)
-                y = jnp.take(data, ib, axis=0)
+                y = jnp.take(data, ib, axis=0, mode='clip')
                 y_t = (None if data_t is None
-                       else jnp.take(data_t, ib, axis=0))
+                       else jnp.take(data_t, ib, axis=0, mode='clip'))
                 ctf = (None if ctf_data is None
-                       else jnp.take(ctf_data, ib, axis=0))
+                       else jnp.take(ctf_data, ib, axis=0, mode='clip'))
                 aux = eval_step(params, y, ctf, sub, z_scale, y_t)
                 return k, aux
             _, metrics = jax.lax.scan(body, key, idx)
