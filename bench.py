@@ -58,13 +58,15 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
                            dtype=jnp.float32)
     dataset = ArrayDataset(y)
 
+    # warmup/compile with the SAME static epoch count the timed run uses
+    # (train_epochs scans epochs in-graph — one dispatch for the whole
+    # run, no per-epoch host round-trip)
     t0 = time.perf_counter()
-    trainer.train_epoch(dataset, 0, progress=False)   # warmup (compile)
+    trainer.train_epochs(dataset, 0, epochs)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for e in range(1, 1 + epochs):
-        trainer.train_epoch(dataset, e, progress=False)
+    trainer.train_epochs(dataset, epochs, epochs)
     dt = time.perf_counter() - t0
 
     images_per_sec = epochs * n_images / dt

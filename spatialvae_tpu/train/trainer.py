@@ -328,6 +328,31 @@ class Trainer:
             (state, _), metrics = jax.lax.scan(body, (state, key), idx)
             return state, metrics
 
+        def train_epochs_scan(state, data, data_t, ctf_data, data_q8,
+                              base_key, first_epoch, z_delay, num_epochs,
+                              n_images):
+            """Outer lax.scan over epochs: permutation, step keys and the
+            z-delay curriculum derive IN-GRAPH from the epoch index, so a
+            whole multi-epoch run is one device dispatch.  Key derivation
+            mirrors train_epoch exactly (fold_in(base, 2e) shuffles,
+            fold_in(base, 2e+1) steps) — results are bit-identical to the
+            sequential per-epoch path."""
+            b = self.tcfg.minibatch_size
+            num_full = n_images // b
+
+            def epoch_body(st, e):
+                sk = jax.random.fold_in(base_key, 2 * e)
+                stk = jax.random.fold_in(base_key, 2 * e + 1)
+                perm = jax.random.permutation(sk, n_images)
+                idx = perm[:num_full * b].reshape(num_full, b)
+                zs = jnp.where(e < z_delay, 0.0, 1.0).astype(jnp.float32)
+                st, m = train_epoch_scan(st, data, data_t, ctf_data,
+                                         data_q8, idx, stk, zs)
+                return st, m
+
+            es = first_epoch + jnp.arange(num_epochs)
+            return jax.lax.scan(epoch_body, state, es)
+
         def eval_epoch_scan(params, data, data_t, ctf_data, idx, key,
                             z_scale):
             def body(k, ib):
@@ -349,6 +374,9 @@ class Trainer:
         # through train_epoch; the plain step stays undonated because tests
         # and the multichip dryrun reuse their input state)
         self._train_epoch_scan = jax.jit(train_epoch_scan, donate_argnums=0)
+        self._train_epochs_scan = jax.jit(train_epochs_scan,
+                                          donate_argnums=0,
+                                          static_argnums=(8, 9))
         self._eval_epoch_scan = jax.jit(eval_epoch_scan)
 
     # ---------------------------------------------------------------- epochs
@@ -457,19 +485,7 @@ class Trainer:
         perm = jax.random.permutation(shuffle_key, n)
         full_idx, tail_idx, num_full, tail = self._index_batches(n, perm)
 
-        state = self.state
-        if self._use_shadow and state.shadow is None:
-            # seed the bf16 shadow once (after init or resume); subsequent
-            # steps carry it forward out of the Adam kernel
-            state = state._replace(
-                shadow=_cast_tree(state.params, self._compute_dtype))
-        if self._use_qenc and state.qshadow is None:
-            from spatialvae_tpu.train.optimizer_pallas import quantize_leaf
-
-            state = state._replace(qshadow=jax.tree_util.tree_map(
-                lambda p: quantize_leaf(
-                    p, p.ndim == 2 and p.size >= _QENC_MIN_ELEMS),
-                state.params))
+        state = self._seeded_state()
         metrics = None
         tail_metrics = None
         if getattr(dataset, "host_resident", False):
@@ -559,6 +575,69 @@ class Trainer:
         dt = time.perf_counter() - t_start
         self.last_images_per_sec = n / dt if dt > 0 else 0.0
         return acc.elbo, acc.gen_loss, acc.kl
+
+    def train_epochs(self, dataset, first_epoch: int, num_epochs: int):
+        """Train ``num_epochs`` consecutive epochs in ONE device dispatch
+        (outer lax.scan over epochs, inner over batches — permutations,
+        step keys and the z-delay curriculum derive in-graph).
+
+        Removes the per-epoch host round-trip of train_epoch (dispatch
+        latency through the tunnel + metric fetch + python bookkeeping,
+        measured ~65 ms/epoch at bench scale) — the steady-state path for
+        long runs and bench.py.  RNG derivation matches train_epoch, so
+        the trajectory is bit-identical to calling it sequentially.
+
+        Returns a (num_epochs, 3) array of per-epoch (elbo, gen_loss, kl)
+        means.  Falls back to sequential train_epoch calls when the
+        dataset streams from host RAM or has a trailing partial batch."""
+        import time
+
+        n = len(dataset)
+        b = self.tcfg.minibatch_size
+        if num_epochs <= 0:
+            return np.zeros((0, 3), np.float64)
+        if getattr(dataset, "host_resident", False) or n % b or n < b:
+            rows = [self.train_epoch(dataset, e, progress=False)
+                    for e in range(first_epoch, first_epoch + num_epochs)]
+            return np.asarray(rows, np.float64)
+
+        t_start = time.perf_counter()
+        state = self._seeded_state()
+        data_t = (self._dataset_yt(dataset) if self._wants_yt(dataset)
+                  else None)
+        data_q8 = (self._dataset_yq8(dataset)
+                   if self._wants_yq8(dataset) else None)
+        state, metrics = self._train_epochs_scan(
+            state, dataset.y, data_t, dataset.ctf, data_q8,
+            self.base_key, jnp.asarray(first_epoch, jnp.int32),
+            jnp.asarray(self.tcfg.z_delay, jnp.int32), num_epochs, n)
+        self.state = state
+        m = np.asarray(metrics)                      # (E, num_batches, 3)
+        if not np.all(np.isfinite(m)):
+            bad = int(np.argwhere(~np.isfinite(m))[0][0])
+            print(f"# WARNING: non-finite training metrics in epoch "
+                  f"{first_epoch + bad + 1} — loss diverged "
+                  f"(try --debug-nans to locate the op)", file=sys.stderr)
+        dt = time.perf_counter() - t_start
+        self.last_images_per_sec = (num_epochs * n / dt) if dt > 0 else 0.0
+        # equal batch sizes -> per-epoch streaming means are plain means
+        return m.mean(axis=1)
+
+    def _seeded_state(self):
+        """TrainState with the bf16 shadow / int8 qshadow seeded (idempotent
+        — subsequent steps carry them out of the Adam pass)."""
+        state = self.state
+        if self._use_shadow and state.shadow is None:
+            state = state._replace(
+                shadow=_cast_tree(state.params, self._compute_dtype))
+        if self._use_qenc and state.qshadow is None:
+            from spatialvae_tpu.train.optimizer_pallas import quantize_leaf
+
+            state = state._replace(qshadow=jax.tree_util.tree_map(
+                lambda p: quantize_leaf(
+                    p, p.ndim == 2 and p.size >= _QENC_MIN_ELEMS),
+                state.params))
+        return state
 
     def eval_epoch(self, dataset, epoch: int, *, z_scale: float = 1.0
                    ) -> Tuple[float, float, float]:
