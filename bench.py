@@ -70,9 +70,13 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
     dt = time.perf_counter() - t0
 
     images_per_sec = epochs * n_images / dt
+    # the warmup interval contains compile AND one full epochs-run of
+    # training (train_epochs is a single dispatch — there is no way to
+    # compile without running), so label it honestly
     print(f"# fused={fused} int8={int8} batch={batch} "
           f"steps/epoch={steps_per_epoch} "
-          f"epochs={epochs} compile={compile_s:.1f}s wall={dt:.2f}s "
+          f"epochs={epochs} warmup(compile+run)={compile_s:.1f}s "
+          f"wall={dt:.2f}s "
           f"step={dt / (epochs * steps_per_epoch) * 1e3:.1f}ms",
           file=sys.stderr)
     return images_per_sec

@@ -417,10 +417,9 @@ class _Phases:
         # B=2048) — Mosaic already streams q's chain into both consumers
         # in one pass, so the "saved" recompute was free and the extra
         # int8 read+widen was pure cost.  Keep the exact pre-round sum.
-        if os.environ.get("SPATIALVAE_DB1", "chain") == "qi":
-            db1_src = None
-        else:
-            db1_src = jnp.sum(q, axis=0, keepdims=True) * self.sg
+        db1_from_qi = os.environ.get("SPATIALVAE_DB1", "chain") == "qi"
+        if not db1_from_qi:
+            self.db1 = jnp.sum(q, axis=0, keepdims=True) * self.sg
         if self.rbits is not None:
             qi = _sr_int(q, self.rbits, -lv, lv)
         else:
@@ -429,8 +428,9 @@ class _Phases:
             # convert — round+cast WITHOUT the clip measured 1.5 ms
             # SLOWER (41.80 vs 40.28 at B=2048), at both quant sites
             qi = jnp.clip(jnp.round(q), -lv, lv).astype(jnp.int8)
-        self.db1 = (jnp.sum(qi.astype(jnp.float32), axis=0, keepdims=True)
-                    * self.sg if db1_src is None else db1_src)
+        if db1_from_qi:
+            self.db1 = (jnp.sum(qi.astype(jnp.float32), axis=0,
+                                keepdims=True) * self.sg)
         if self.grad_mode != "i8":
             self.dh1q_dw1 = None if self.grad_mode == "i4dw1" else qi
             self.dh1q_da0 = qi.astype(self.i4)

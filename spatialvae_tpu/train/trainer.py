@@ -620,8 +620,9 @@ class Trainer:
                   f"(try --debug-nans to locate the op)", file=sys.stderr)
         dt = time.perf_counter() - t_start
         self.last_images_per_sec = (num_epochs * n / dt) if dt > 0 else 0.0
-        # equal batch sizes -> per-epoch streaming means are plain means
-        return m.mean(axis=1)
+        # equal batch sizes -> per-epoch streaming means are plain means;
+        # float64 to match the fallback path's dtype
+        return m.astype(np.float64).mean(axis=1)
 
     def _seeded_state(self):
         """TrainState with the bf16 shadow / int8 qshadow seeded (idempotent

@@ -15,14 +15,14 @@ from spatialvae_tpu.transforms.coords import coord_grid
 
 
 def _trainer(n=8, batch=16, compute_dtype="float32", augment=False,
-             seed=0):
+             seed=0, z_delay=0):
     q_cfg = InferenceConfig(n=n * n, latent_dim=5, hidden_dim=16,
                             num_layers=2)
     p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, num_layers=2)
     ecfg = ElboConfig(likelihood="bernoulli", theta_prior=np.pi)
     tcfg = TrainConfig(minibatch_size=batch, num_epochs=2, seed=seed,
                        compute_dtype=compute_dtype, image_shape=(n, n),
-                       augment_rotation=augment)
+                       augment_rotation=augment, z_delay=z_delay)
     return Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, n))
 
 
@@ -59,6 +59,24 @@ def test_train_epochs_matches_sequential():
     # continuing with per-epoch training from the scanned state works
     e3 = t_one.train_epoch(data, 3, progress=False)[0]
     assert np.isfinite(e3)
+
+
+def test_train_epochs_zdelay_matches_sequential():
+    """The z-delay curriculum is derived IN-GRAPH by train_epochs
+    (e < z_delay); it must reproduce the host-side schedule exactly,
+    including the epoch where z turns on."""
+    t_seq = _trainer(z_delay=2)
+    t_one = _trainer(z_delay=2)
+    rng = np.random.RandomState(4)
+    data = ArrayDataset(jnp.asarray(rng.rand(64, 64).astype(np.float32)))
+    rows = [t_seq.train_epoch(data, e, progress=False) for e in range(3)]
+    m = t_one.train_epochs(data, 0, 3)
+    assert m.dtype == np.float64
+    np.testing.assert_allclose(m, np.asarray(rows), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(t_seq.state.params),
+                    jax.tree_util.tree_leaves(t_one.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_train_epochs_tail_fallback():

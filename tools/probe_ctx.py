@@ -14,10 +14,11 @@ Modes (all B=2048, pt=1024, defaults):
            a per-step index batch (the epoch's access pattern)
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -7,10 +7,11 @@ preferred_element_type values compile and their scan-amortized time.
 """
 
 import functools
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -52,15 +53,24 @@ def main():
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((PT, H), jnp.float32),
             )
-            jf = jax.jit(lambda a, w: f(a, w))
+            # scan-amortized (CLAUDE.md: never time single dispatches —
+            # the tunnel adds ~10 ms/call); legality is the real result
+            iters = 10
+
+            @jax.jit
+            def jf(a, w):
+                def body(c, _):
+                    out = f(c, w)
+                    return c + (out[0:1, 0:1] * 0).astype(c.dtype), ()
+                return jax.lax.scan(body, a, None, length=iters)[0]
+
             r = jf(aq, wq)
             r.block_until_ready()
             t0 = time.perf_counter()
-            for _ in range(5):
-                r = jf(aq, wq)
+            r = jf(aq, wq)
             r.block_until_ready()
-            dt = (time.perf_counter() - t0) / 5
-            print(f"acc={name}: OK  {dt * 1e3:.2f} ms/call")
+            dt = (time.perf_counter() - t0) / iters
+            print(f"acc={name}: OK  {dt * 1e3:.2f} ms/iter (scan-amortized)")
         except Exception as e:  # noqa: BLE001
             msg = str(e).split("\n")[0][:140]
             print(f"acc={name}: FAIL  {msg}")
