@@ -99,6 +99,13 @@ def constrain_decoder_hidden(h: jax.Array) -> jax.Array:
     mesh = _ACTIVATION_MESH
     if mesh is None:
         return h
+    # inside shard_map the mesh axes are Manual and h is a per-device
+    # local array — a GSPMD sharding constraint there is illegal AND
+    # meaningless (the shard_map SPMD path does its own DP); no-op
+    am = jax.sharding.get_abstract_mesh()
+    if am is not None and any(
+            t == jax.sharding.AxisType.Manual for t in am.axis_types):
+        return h
     spec = [None] * h.ndim
     if h.shape[0] % mesh.shape["data"] == 0:
         spec[0] = "data"

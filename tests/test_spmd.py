@@ -263,3 +263,46 @@ def test_spmd_tail_batch_is_trained_not_dropped():
     np.testing.assert_allclose(
         w_after, np.asarray(t_one.state.params["p"]["coord"]["w"]),
         rtol=1e-5, atol=1e-7)
+
+
+def test_spmd_train_epochs_matches_sequential():
+    """Trainer.train_epochs (multi-epoch in-graph scan) composed with the
+    shard_map DP step: one dispatch for the whole run on the mesh must
+    reproduce the sequential per-epoch mesh trajectory."""
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 16
+    q_cfg = InferenceConfig(n=n * m, latent_dim=5, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, num_layers=2)
+    # fused=True routes _spmd; use_fold=False keeps the per-device step on
+    # the XLA decoder so no Mosaic compile is needed on CPU (the fused
+    # kernel inside shard_map is covered by
+    # test_spmd_fused_loss_kernel_matches_single_device)
+    ecfg = ElboConfig(likelihood="bernoulli", theta_prior=np.pi, fused=True,
+                      use_fold=False)
+    tcfg = TrainConfig(minibatch_size=16, num_epochs=2, seed=0,
+                       image_shape=(n, m))
+    data = ArrayDataset(jax.random.uniform(jax.random.PRNGKey(2),
+                                           (32, n * m)))
+
+    t_seq = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m),
+                    mesh=create_mesh(MeshConfig(data=8, model=1)))
+    t_one = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m),
+                    mesh=create_mesh(MeshConfig(data=8, model=1)))
+    assert t_seq._spmd and t_one._spmd
+    rows = [t_seq.train_epoch(data, e, progress=False) for e in range(2)]
+    mrows = t_one.train_epochs(data, 0, 2)
+    np.testing.assert_allclose(mrows, np.asarray(rows), rtol=1e-5,
+                               atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(t_seq.state.params),
+                    jax.tree_util.tree_leaves(t_one.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
