@@ -306,3 +306,47 @@ def test_spmd_train_epochs_matches_sequential():
                     jax.tree_util.tree_leaves(t_one.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_spmd_particles_features_epoch():
+    """Gaussian likelihood + per-image CTF + circular mask + rotation
+    augmentation, all under the shard_map DP mesh — the particles feature
+    set must survive per-device execution (these route through the XLA
+    decoder inside shard_map, the path the round-3 Manual-axes fix
+    covers)."""
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 16
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    q_cfg = InferenceConfig(n=n * m, latent_dim=5, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, num_layers=2)
+    ecfg = ElboConfig(likelihood="gaussian", theta_prior=np.pi, fused=True)
+    tcfg = TrainConfig(minibatch_size=16, num_epochs=1, seed=0,
+                       image_shape=(n, m), augment_rotation=True,
+                       z_delay=1)
+    yy, xx = np.mgrid[:n, :m]
+    mask = ((yy - n / 2) ** 2 + (xx - m / 2) ** 2
+            <= (n / 2) ** 2).astype(np.float32).reshape(-1)
+    t = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m),
+                mask=jnp.asarray(mask), mesh=mesh)
+    assert t._spmd
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 2)
+    y = jax.random.uniform(ks[0], (32, n * m))
+    ctf = jnp.tile(jnp.zeros((5, 5)).at[2, 2].set(1.0)[None], (32, 1, 1))
+    data = ArrayDataset(y, ctf=ctf)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        elbo, gen, kl = t.train_epoch(data, 0, progress=False)
+        assert np.isfinite(elbo)
+        ev = t.eval_epoch(data, 0)
+    assert np.isfinite(ev[0])
