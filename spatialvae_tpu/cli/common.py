@@ -129,6 +129,17 @@ def maybe_resume(trainer, args) -> int:
     from spatialvae_tpu.train.checkpoint import load_model, load_optimizer
     from spatialvae_tpu.train.trainer import TrainState
 
+    # Adam moments/count only make sense paired with the params they were
+    # optimizing: fresh random params + epoch-N moments (and a skipped
+    # z-delay curriculum) is a silently-corrupt "resume" — fail fast
+    if getattr(args, "resume_optimizer", None) and not (
+            getattr(args, "resume_generator", None)
+            and getattr(args, "resume_inference", None)):
+        raise SystemExit(
+            "--resume-optimizer requires BOTH --resume-generator and "
+            "--resume-inference (optimizer moments belong to specific "
+            "parameters)")
+
     params = dict(trainer.state.params)
     if getattr(args, "resume_generator", None):
         p, _, kind = load_model(args.resume_generator)

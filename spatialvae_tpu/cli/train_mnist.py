@@ -301,7 +301,10 @@ def run(args):
                             async_write=False, elbo=trainer.ecfg,
                             image_shape=trainer.tcfg.image_shape)
 
-        if args.save_optimizer:
+        # gate on the prefix like the model save (prefix None would
+        # f-string a literal 'None_optimizer_*.sav' with no matching
+        # model checkpoints — unusable for resume)
+        if args.save_optimizer and args.save_prefix:
             from spatialvae_tpu.train.checkpoint import (
                 optimizer_path,
                 save_optimizer,

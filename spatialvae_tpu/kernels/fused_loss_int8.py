@@ -390,7 +390,13 @@ class _Phases:
         # (Pt, H) pass
         mdz = (self.mdz if self.a1q
                else jnp.max(jnp.abs(self.dz2)) + 1e-30)
-        lv = 7.0 if self.grad_mode != "i8" else 127.0
+        # bound mode is i4-family only (the host forces gscale='tile' for
+        # i8/da0_i4, whose sw slot carries w1's per-tensor scale — a bound
+        # here would both misread sw and drop that scale from dscale);
+        # self-enforce the invariant instead of leaving a wrong-if-ever-
+        # reached i8 branch
+        assert self.grad_mode in ("i4fwd", "i4dw1"), self.grad_mode
+        lv = 7.0
         qs = lv / (gb * mdz)
         self.sg = gb * mdz * (1.0 / lv)                      # exact inverse
         if self.a1q:
@@ -431,14 +437,9 @@ class _Phases:
         if db1_from_qi:
             self.db1 = (jnp.sum(qi.astype(jnp.float32), axis=0,
                                 keepdims=True) * self.sg)
-        if self.grad_mode != "i8":
-            self.dh1q_dw1 = None if self.grad_mode == "i4dw1" else qi
-            self.dh1q_da0 = qi.astype(self.i4)
-            self.dscale = self.sg * self.s4_ref[0:1, :]      # (1, H)
-        else:
-            self.dh1q_dw1 = qi
-            self.dh1q_da0 = qi
-            self.dscale = jnp.reshape(self.sg, (1, 1))
+        self.dh1q_dw1 = None if self.grad_mode == "i4dw1" else qi
+        self.dh1q_da0 = qi.astype(self.i4)
+        self.dscale = self.sg * self.s4_ref[0:1, :]          # (1, H)
 
     def p5_dh1(self):                                        # VPU
         if self.gscale == "bound":
@@ -468,36 +469,24 @@ class _Phases:
         m1 = jnp.max(jnp.abs(dh1), axis=0, keepdims=True)   # (1, H) bf16
         maxv = jnp.max(m1.astype(jnp.float32), axis=1,
                        keepdims=True) + 1e-30               # (1, 1) f32
+        lv = 7.0 if self.grad_mode != "i8" else 127.0
+        qs_b = (lv / maxv).astype(jnp.bfloat16)             # (1, 1)
+        self.sg = 1.0 / qs_b.astype(jnp.float32)            # (1, 1) f32
+        # neither bf16 roundeven nor bf16 comparisons legalize in Mosaic:
+        # round the scaled tile in f32 (one transient pass); with rbits,
+        # stochastic rounding makes the quantisation unbiased
+        q = (dh1 * qs_b).astype(jnp.float32)
+        if self.rbits is not None:
+            qi = _sr_int(q, self.rbits, -lv, lv)
+        else:
+            qi = jnp.clip(jnp.round(q), -lv, lv).astype(jnp.int8)
         if self.grad_mode != "i8":
-            if self.rbits is not None:
-                # stochastic rounding: unbiased gradient quantisation
-                qs_b = (7.0 / maxv).astype(jnp.bfloat16)    # (1, 1)
-                self.sg = 1.0 / qs_b.astype(jnp.float32)    # (1, 1) f32
-                q = (dh1 * qs_b).astype(jnp.float32)
-                q4i8 = _sr_int(q, self.rbits, -7, 7)
-            else:
-                qs_b = (7.0 / maxv).astype(jnp.bfloat16)    # (1, 1)
-                self.sg = 1.0 / qs_b.astype(jnp.float32)    # (1, 1) f32
-                # neither bf16 roundeven nor bf16 comparisons legalize in
-                # Mosaic: round the scaled tile in f32 (one transient pass)
-                q = (dh1 * qs_b).astype(jnp.float32)
-                q4i8 = jnp.clip(jnp.round(q), -7, 7).astype(jnp.int8)
-            self.dh1q_dw1 = None if self.grad_mode == "i4dw1" else q4i8
-            self.dh1q_da0 = q4i8.astype(self.i4)
+            self.dh1q_dw1 = None if self.grad_mode == "i4dw1" else qi
+            self.dh1q_da0 = qi.astype(self.i4)
             self.dscale = self.sg * self.s4_ref[0:1, :]     # (1, H)
         else:
-            if self.rbits is not None:
-                qs_b = (127.0 / maxv).astype(jnp.bfloat16)  # (1, 1)
-                self.sg = 1.0 / qs_b.astype(jnp.float32)    # (1, 1) f32
-                q = (dh1 * qs_b).astype(jnp.float32)
-                q8 = _sr_int(q, self.rbits, -127, 127)
-            else:
-                qs_b = (127.0 / maxv).astype(jnp.bfloat16)  # (1, 1)
-                self.sg = 1.0 / qs_b.astype(jnp.float32)    # (1, 1) f32
-                q = (dh1 * qs_b).astype(jnp.float32)
-                q8 = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
-            self.dh1q_dw1 = q8
-            self.dh1q_da0 = q8
+            self.dh1q_dw1 = qi
+            self.dh1q_da0 = qi
             self.dscale = self.sg * self.sw_ref[0, 0]       # (1, 1)
 
     def p6_gemms(self):                                      # MXU
@@ -573,6 +562,7 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
     j = pl.program_id(1)
 
     rbits = None
+    rbits_g = None
     if use_sr:
         # one (Pt, H) bits tile per grid step, shared by the n_img staggered
         # images (rounding correlation across images is harmless — they
@@ -583,6 +573,13 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
                                              jnp.int32)[0, 0]
         pltpu.prng_seed(bseed ^ (i * pl.num_programs(1) + j))
         rbits = pltpu.bitcast(
+            pltpu.prng_random_bits((x3_ref.shape[0], w1q_ref.shape[0])),
+            jnp.uint32)
+        # INDEPENDENT bits for the gradient quant site: reusing the same
+        # tile for the forward aq round and the p5 gradient round makes
+        # the two rounding errors correlated per element, biasing dw1
+        # (E[eps_a(u)·eps_g(u)] != 0) — exactly what SR is meant to avoid
+        rbits_g = pltpu.bitcast(
             pltpu.prng_random_bits((x3_ref.shape[0], w1q_ref.shape[0])),
             jnp.uint32)
 
@@ -657,7 +654,7 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
     ss = [
         _Phases(r, aq, acc, sw_ref, h1s_ref, b1_ref, wht_ref, bht_ref,
                 yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode,
-                tanh_fn=tanh_fn, rbits=rbits, epi=epi, gscale=gscale,
+                tanh_fn=tanh_fn, rbits=rbits_g, epi=epi, gscale=gscale,
                 a1q=a1q)
         for r, (aq, acc) in enumerate(built)
     ]

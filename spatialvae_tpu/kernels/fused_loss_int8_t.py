@@ -48,10 +48,16 @@ from jax.experimental.pallas import tpu as pltpu
 from spatialvae_tpu.core.config import SpatialGeneratorConfig
 from spatialvae_tpu.kernels.fused_decoder_int8 import _quant_sym
 from spatialvae_tpu.kernels.fused_loss_int8 import (
-    _PIPE_IMGS_DEFAULT,
     _pick_tile,
     _quant_sym4,
 )
+
+# the t-kernel pins its OWN pipeline-depth default: its recorded numbers
+# (59.2/52.7 ms, round 2) are depth-4, and it has the largest per-image
+# transients of the family — inheriting the row kernel's depth-8 default
+# (flipped in round 3 for the smaller bound-gscale transient set) would
+# silently A/B an unmeasured, likely VMEM-starved configuration
+_PIPE_IMGS_DEFAULT_T = "4"
 
 # the engineered pad-row activation: tanh(h0) = 1/7 exactly, so the int4
 # quantisation rounds to 1 and the int8 one to 18 (both nonzero, both
@@ -270,9 +276,14 @@ def _lossgrad_pallas_t(foldT, coords, w1, b1, wht, bht, y_t,
     # on every feature-major op; +1 guarantees room for the db1 row
     hp = ((h + 1 + 31) // 32) * 32
     assert b % 2 == 0, "fused loss kernel processes even batches"
-    n_img = int(os.environ.get("SPATIALVAE_PIPE_IMGS", _PIPE_IMGS_DEFAULT))
-    while b % n_img:
-        n_img //= 2
+    req = int(os.environ.get("SPATIALVAE_PIPE_IMGS", _PIPE_IMGS_DEFAULT_T))
+    if req < 1:
+        req = int(_PIPE_IMGS_DEFAULT_T)
+    # largest power-of-2 divisor of b <= the request (same fallback rule
+    # as the row kernel — a non-divisor like 6 must not collapse to 1)
+    n_img = 1
+    while n_img * 2 <= req and b % (n_img * 2) == 0:
+        n_img *= 2
 
     grad_mode = os.environ.get("SPATIALVAE_INT4_GRADS_T", _GRAD_MODE_DEFAULT)
     use_i4 = not interpret and jax.default_backend() == "tpu"

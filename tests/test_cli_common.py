@@ -35,3 +35,19 @@ def test_save_label_scheme():
     assert save_label(args, "pre") == "pre_z2pnl3qnl4ep100"
     args2 = {"z_dim": 5, "num_layers": 2, "num_epochs": 7}
     assert save_label(args2, "t") == "t_z5nl2ep7"
+
+
+def test_resume_optimizer_requires_both_nets():
+    """Adam moments belong to specific parameters: --resume-optimizer
+    without both --resume-generator and --resume-inference is a silently
+    corrupt 'resume' and must be rejected."""
+    import argparse
+
+    import pytest
+
+    from spatialvae_tpu.cli.common import maybe_resume
+
+    args = argparse.Namespace(resume_generator=None, resume_inference=None,
+                              resume_optimizer="whatever.sav")
+    with pytest.raises(SystemExit, match="resume-optimizer requires"):
+        maybe_resume(object(), args)
