@@ -304,6 +304,12 @@ def run(args):
         # gate on the prefix like the model save (prefix None would
         # f-string a literal 'None_optimizer_*.sav' with no matching
         # model checkpoints — unusable for resume)
+        if args.save_optimizer and not args.save_prefix:
+            import sys as _sys
+            print("# WARNING: --save-optimizer ignored: no "
+                  "--save_prefix, so there are no model "
+                  "checkpoints for the optimizer state to pair "
+                  "with", file=_sys.stderr)
         if args.save_optimizer and args.save_prefix:
             from spatialvae_tpu.train.checkpoint import (
                 optimizer_path,

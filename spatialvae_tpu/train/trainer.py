@@ -85,6 +85,19 @@ def _cast_tree(tree, dtype):
         else a, tree)
 
 
+def _warn_nonfinite(m: np.ndarray, epoch_base: int) -> None:
+    """Divergence warning for a (..., num_batches, 3) metric array; the
+    leading axis (if any) indexes epochs starting at ``epoch_base``."""
+    if np.all(np.isfinite(m)):
+        return
+    idx = np.argwhere(~np.isfinite(m))[0]
+    epoch = epoch_base + (int(idx[0]) if m.ndim == 3 else 0)
+    step = int(idx[1] if m.ndim == 3 else idx[0])
+    print(f"# WARNING: non-finite training metrics at epoch {epoch + 1}, "
+          f"step {step + 1} — loss diverged (try --debug-nans to locate "
+          f"the op)", file=sys.stderr)
+
+
 class Trainer:
     """Owns params, optimizer state, and the jitted step/epoch functions."""
 
@@ -554,12 +567,7 @@ class Trainer:
         acc = StreamingMeans()
         if metrics is not None:
             m = np.asarray(metrics)
-            if not np.all(np.isfinite(m)):
-                bad = int(np.argwhere(~np.isfinite(m))[0][0])
-                print(f"# WARNING: non-finite training metrics at epoch "
-                      f"{epoch + 1}, step {bad + 1} — loss diverged "
-                      f"(try --debug-nans to locate the op)",
-                      file=sys.stderr)
+            _warn_nonfinite(m, epoch)
             acc.update_array(m, tcfg.minibatch_size)
         if tail_metrics is not None:
             acc.update(tail, *[float(v) for v in np.asarray(tail_metrics)])
@@ -613,11 +621,7 @@ class Trainer:
             jnp.asarray(self.tcfg.z_delay, jnp.int32), num_epochs, n)
         self.state = state
         m = np.asarray(metrics)                      # (E, num_batches, 3)
-        if not np.all(np.isfinite(m)):
-            bad = int(np.argwhere(~np.isfinite(m))[0][0])
-            print(f"# WARNING: non-finite training metrics in epoch "
-                  f"{first_epoch + bad + 1} — loss diverged "
-                  f"(try --debug-nans to locate the op)", file=sys.stderr)
+        _warn_nonfinite(m, first_epoch)
         dt = time.perf_counter() - t_start
         self.last_images_per_sec = (num_epochs * n / dt) if dt > 0 else 0.0
         # equal batch sizes -> per-epoch streaming means are plain means;

@@ -12,7 +12,6 @@ Skipped automatically when /root/reference is not present.
 
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -27,31 +26,11 @@ torch = pytest.importorskip("torch")
 @pytest.fixture(scope="module")
 def ref_modules():
     # stub torchvision + skimage (imported at reference module scope but
-    # unused by the functions under test)
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.utils = types.ModuleType("torchvision.utils")
-        tv.utils.save_image = lambda *a, **k: None
-        tv.datasets = types.ModuleType("torchvision.datasets")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.utils"] = tv.utils
-        sys.modules["torchvision.datasets"] = tv.datasets
-    if "skimage" not in sys.modules:
-        sk = types.ModuleType("skimage")
-        sk.transform = types.ModuleType("skimage.transform")
-        sk.transform.resize = lambda *a, **k: None
-        sys.modules["skimage"] = sk
-        sys.modules["skimage.transform"] = sk.transform
-    sys.path.insert(0, REF)
-    try:
-        import spatial_vae.models as ref_models
-        import train_mnist as ref_mnist
-        import train_particles as ref_particles
-        import train_galaxy as ref_galaxy
+    # unused by the functions under test) — shared with
+    # tools/reference_throughput.py via tests/reference_stub.py
+    from tests.reference_stub import import_reference_modules
 
-        return ref_models, ref_mnist, ref_particles, ref_galaxy
-    finally:
-        sys.path.remove(REF)
+    return import_reference_modules()
 
 
 def _copy_params_to_torch(q_params, p_params, q_net, p_net, vanilla=False):

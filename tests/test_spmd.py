@@ -313,7 +313,12 @@ def test_spmd_particles_features_epoch():
     augmentation, all under the shard_map DP mesh — the particles feature
     set must survive per-device execution (these route through the XLA
     decoder inside shard_map, the path the round-3 Manual-axes fix
-    covers)."""
+    covers).
+
+    hw = 15*15 = 225 < the bf16 fused decoder's 256-pixel floor, so the
+    folded XLA decoder runs and NO Mosaic interpreter is needed — CLAUDE.md
+    forbids force_tpu_interpret_mode around shard_map (barrier-clock
+    livelock)."""
     from spatialvae_tpu.core.config import (
         InferenceConfig,
         SpatialGeneratorConfig,
@@ -323,7 +328,7 @@ def test_spmd_particles_features_epoch():
     from spatialvae_tpu.train import Trainer, TrainConfig
     from spatialvae_tpu.transforms.coords import coord_grid
 
-    n = m = 16
+    n = m = 15
     mesh = create_mesh(MeshConfig(data=8, model=1))
     q_cfg = InferenceConfig(n=n * m, latent_dim=5, hidden_dim=16,
                             num_layers=2)
@@ -343,10 +348,7 @@ def test_spmd_particles_features_epoch():
     y = jax.random.uniform(ks[0], (32, n * m))
     ctf = jnp.tile(jnp.zeros((5, 5)).at[2, 2].set(1.0)[None], (32, 1, 1))
     data = ArrayDataset(y, ctf=ctf)
-    from jax.experimental.pallas import tpu as pltpu
-
-    with pltpu.force_tpu_interpret_mode():
-        elbo, gen, kl = t.train_epoch(data, 0, progress=False)
-        assert np.isfinite(elbo)
-        ev = t.eval_epoch(data, 0)
+    elbo, gen, kl = t.train_epoch(data, 0, progress=False)
+    assert np.isfinite(elbo)
+    ev = t.eval_epoch(data, 0)
     assert np.isfinite(ev[0])

@@ -54,8 +54,9 @@ def main():
                 out_shape=jax.ShapeDtypeStruct((PT, H), jnp.float32),
             )
             # scan-amortized (CLAUDE.md: never time single dispatches —
-            # the tunnel adds ~10 ms/call); legality is the real result
-            iters = 10
+            # the tunnel adds ~10 ms/call; 100 iters pushes the residual
+            # dispatch bias to ~0.1 ms/iter); legality is the real result
+            iters = 100
 
             @jax.jit
             def jf(a, w):

@@ -17,7 +17,6 @@ from __future__ import annotations
 import os
 import sys
 import time
-import types
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,25 +24,10 @@ REF = "/root/reference"
 
 
 def _import_reference():
-    # stub torchvision/skimage exactly like tests/test_reference_parity.py
-    # (imported at reference module scope but unused on this code path)
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.utils = types.ModuleType("torchvision.utils")
-        tv.utils.save_image = lambda *a, **k: None
-        tv.datasets = types.ModuleType("torchvision.datasets")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.utils"] = tv.utils
-        sys.modules["torchvision.datasets"] = tv.datasets
-    if "skimage" not in sys.modules:
-        sk = types.ModuleType("skimage")
-        sk.transform = types.ModuleType("skimage.transform")
-        sk.transform.resize = lambda im, shape, **k: im
-        sys.modules["skimage"] = sk
-        sys.modules["skimage.transform"] = sk.transform
-    sys.path.insert(0, REF)
-    import train_galaxy as ref_galaxy  # noqa: E402
+    # stub machinery shared with tests/test_reference_parity.py
+    from tests.reference_stub import import_reference_modules
 
+    _, _, _, ref_galaxy = import_reference_modules()
     return ref_galaxy
 
 
