@@ -202,7 +202,9 @@ def _pick_tile(hw: int) -> int:
     # pt=1024 measured marginally faster than 2048 (56.30 vs 56.95 ms at
     # B=2048) and keeps the working set lean
     pt_env = os.environ.get("SPATIALVAE_LOSS_TILE")
-    if pt_env and hw % int(pt_env) == 0:
+    # ignore non-positive/non-divisor requests (same tolerance as
+    # SPATIALVAE_PIPE_IMGS) instead of ZeroDivisionError on a typo'd 0
+    if pt_env and int(pt_env) > 0 and hw % int(pt_env) == 0:
         return int(pt_env)
     for t in (1024, 512, 256):
         if hw % t == 0:

@@ -85,6 +85,19 @@ def _cast_tree(tree, dtype):
         else a, tree)
 
 
+@jax.jit
+def _quantize_dataset(arr):
+    """Per-tensor int8 copy of a dataset, under jit so XLA fuses the
+    scale/round/clip into one pass — eagerly this materialises several
+    dataset-sized f32 temporaries and can exhaust HBM at bench scale.
+    Module-level so repeated cache misses reuse ONE compiled program per
+    shape instead of re-tracing a fresh closure."""
+    flat = arr.reshape(arr.shape[0], -1).astype(jnp.float32)
+    s = (jnp.max(jnp.abs(flat)) / 127.0 + 1e-30).reshape(1, 1)
+    q = jnp.clip(jnp.round(flat / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _warn_nonfinite(m: np.ndarray, epoch_base: int) -> None:
     """Divergence warning for a (..., num_batches, 3) metric array; the
     leading axis (if any) indexes epochs starting at ``epoch_base``."""
@@ -238,8 +251,16 @@ class Trainer:
         import dataclasses
         import functools
 
+        # eval/display config: under a mesh the GSPMD path cannot partition
+        # a pallas_call (fused off entirely); single-chip eval keeps the
+        # fused forward DECODER but drops the fused LOSS kernel — its
+        # primal computes and writes all five gradient tensors (~3x the
+        # forward-only cost) just to carry the scalar BCE, pure waste when
+        # nothing differentiates it
         self._nonstep_ecfg = (dataclasses.replace(self.ecfg, fused=False)
-                              if self.mesh is not None else self.ecfg)
+                              if self.mesh is not None
+                              else dataclasses.replace(self.ecfg,
+                                                       fused_loss=False))
 
         self._tail_step = None
         if self._spmd:
@@ -262,7 +283,23 @@ class Trainer:
                 updates, opt_state = self.optimizer.update(
                     grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
-                return TrainState(params, opt_state), aux
+                # re-emit shadow/qshadow so the tail does not silently
+                # strip the throughput stack from the state (the next
+                # epoch's scan would otherwise trace the non-shadow
+                # branch: different numerics path + a fresh compile)
+                shadow = (_cast_tree(params, self._compute_dtype)
+                          if state.shadow is not None else None)
+                qshadow = None
+                if state.qshadow is not None:
+                    from spatialvae_tpu.train.optimizer_pallas import (
+                        quantize_leaf,
+                    )
+
+                    qshadow = jax.tree_util.tree_map(
+                        lambda p: quantize_leaf(
+                            p, p.ndim == 2 and p.size >= _QENC_MIN_ELEMS),
+                        params)
+                return TrainState(params, opt_state, shadow, qshadow), aux
 
             self._tail_step = jax.jit(
                 tail_step,
@@ -452,17 +489,7 @@ class Trainer:
         if hit is not None and hit[0] is y:
             return hit[1]
 
-        @jax.jit
-        def _quantize(arr):
-            # under jit so XLA fuses the scale/round/clip into one pass —
-            # eagerly this materialises several dataset-sized f32
-            # temporaries and can exhaust HBM at bench scale
-            flat = arr.reshape(arr.shape[0], -1).astype(jnp.float32)
-            s = (jnp.max(jnp.abs(flat)) / 127.0 + 1e-30).reshape(1, 1)
-            q = jnp.clip(jnp.round(flat / s), -127, 127).astype(jnp.int8)
-            return q, s
-
-        entry = _quantize(jnp.asarray(y))
+        entry = _quantize_dataset(jnp.asarray(y))
         self._cache_put(cache, id(y), (y, entry))
         return entry
 
@@ -570,7 +597,11 @@ class Trainer:
             _warn_nonfinite(m, epoch)
             acc.update_array(m, tcfg.minibatch_size)
         if tail_metrics is not None:
-            acc.update(tail, *[float(v) for v in np.asarray(tail_metrics)])
+            tm = np.asarray(tail_metrics)
+            # the tail may be the ONLY batch (n < minibatch_size) — it
+            # deserves the same divergence diagnostic as the scan path
+            _warn_nonfinite(tm.reshape(1, -1), epoch)
+            acc.update(tail, *[float(v) for v in tm])
         if progress:
             # the epoch runs as one scan, so the summary line lands once,
             # complete, and stays visible (the reference's per-minibatch \r
@@ -661,11 +692,10 @@ class Trainer:
                 m = self._eval_step(self.state.params, y, ctf, k, zs)
                 acc.update(b, *[float(v) for v in np.asarray(m)])
         elif num_full:
-            data_t = (self._dataset_yt(dataset)
-                      if self.mesh is None and self._wants_yt(dataset)
-                      else None)
+            # eval runs without the fused LOSS kernel (see _nonstep_ecfg),
+            # so the pre-transposed target copy has no consumer
             metrics = self._eval_epoch_scan(self.state.params, dataset.y,
-                                            data_t, dataset.ctf, full_idx,
+                                            None, dataset.ctf, full_idx,
                                             key, zs)
             acc.update_array(np.asarray(metrics), b)
         if tail:
