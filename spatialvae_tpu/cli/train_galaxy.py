@@ -72,7 +72,9 @@ def galaxy_arguments(argv=None):
     add_arg(parser, "--no_translate", action="store_true",
             help="do not perform translation inference")
 
-    add_arg(parser, "--dx_scale", type=float, default=0.1,
+    # --dx-prior is the upstream-paper spelling for the same quantity
+    # (SURVEY.md section 5.6; BASELINE.json config #2 names it explicitly)
+    add_arg(parser, "--dx_scale", "--dx-prior", type=float, default=0.1,
             help="standard deviation of translation latent variables "
                  "(default: 0.1)")
     add_arg(parser, "--theta_prior", type=float, default=np.pi,

@@ -759,13 +759,18 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
     if grad_mode not in ("i4fwd", "i4dw1"):
         gscale = "tile"
 
+    # epilogue elementwise dtype, resolved ONCE — the a1q gate below and
+    # the kernel both consume this value, so the two can never disagree
+    # (an env re-read at the gate could silently enable the untested
+    # a1q + f32-epilogue combination if epi ever gains a non-env default)
+    epi = os.environ.get("SPATIALVAE_EPI", _EPI_DEFAULT)
+
     # int8 a1 (SPATIALVAE_A1Q): the hidden activation is quantized with
     # the static tanh scale so the head fwd GEMM, dwht and da1 run int8
     # and all three consumers of the (Pt, H) a1 tile read half the bytes.
     # Only wired for the bound-gscale bf16-epilogue i4 stack (the default).
     a1q = (os.environ.get("SPATIALVAE_A1Q", _A1Q_DEFAULT) == "1"
-           and gscale == "bound"
-           and os.environ.get("SPATIALVAE_EPI", _EPI_DEFAULT) != "f32")
+           and gscale == "bound" and epi != "f32")
 
     f32 = jnp.float32
     swht = None
@@ -850,7 +855,6 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
     # under interpret (tests need deterministic round-to-nearest)
     use_sr = (os.environ.get("SPATIALVAE_SR", _SR_DEFAULT) == "1"
               and use_i4)
-    epi = os.environ.get("SPATIALVAE_EPI", _EPI_DEFAULT)
     return pl.pallas_call(
         functools.partial(_kernel, i4=i4, grad_mode=grad_mode,
                           mxu_build=mxu_build, n_img=n_img,

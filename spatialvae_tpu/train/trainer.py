@@ -98,14 +98,17 @@ def _quantize_dataset(arr):
     return q, s
 
 
-def _warn_nonfinite(m: np.ndarray, epoch_base: int) -> None:
+def _warn_nonfinite(m: np.ndarray, epoch_base: int,
+                    step_base: int = 0) -> None:
     """Divergence warning for a (..., num_batches, 3) metric array; the
-    leading axis (if any) indexes epochs starting at ``epoch_base``."""
+    leading axis (if any) indexes epochs starting at ``epoch_base``.
+    ``step_base`` offsets the reported step index (the tail batch passes
+    the number of full batches so it does not report as 'step 1')."""
     if np.all(np.isfinite(m)):
         return
     idx = np.argwhere(~np.isfinite(m))[0]
     epoch = epoch_base + (int(idx[0]) if m.ndim == 3 else 0)
-    step = int(idx[1] if m.ndim == 3 else idx[0])
+    step = step_base + int(idx[1] if m.ndim == 3 else idx[0])
     print(f"# WARNING: non-finite training metrics at epoch {epoch + 1}, "
           f"step {step + 1} — loss diverged (try --debug-nans to locate "
           f"the op)", file=sys.stderr)
@@ -599,8 +602,9 @@ class Trainer:
         if tail_metrics is not None:
             tm = np.asarray(tail_metrics)
             # the tail may be the ONLY batch (n < minibatch_size) — it
-            # deserves the same divergence diagnostic as the scan path
-            _warn_nonfinite(tm.reshape(1, -1), epoch)
+            # deserves the same divergence diagnostic as the scan path,
+            # reported at its true position (step num_full + 1)
+            _warn_nonfinite(tm.reshape(1, -1), epoch, step_base=num_full)
             acc.update(tail, *[float(v) for v in tm])
         if progress:
             # the epoch runs as one scan, so the summary line lands once,

@@ -1,5 +1,7 @@
 """int8 fused decoder: approximate-correctness vs the f32 folded path."""
 
+import os
+
 import numpy as np
 
 import jax
@@ -362,6 +364,11 @@ def test_fused_loss_int8_bound_gscale_close_to_tile(gmode, a1q, monkeypatch):
             assert float(a.ravel() @ r.ravel() / denom) > 0.9
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPATIALVAE_TEST_T_KERNEL") != "1",
+    reason="fused_loss_int8_t is a kept-for-future-Mosaic negative "
+           "(measured slower, default-off); set SPATIALVAE_TEST_T_KERNEL=1 "
+           "to run its interpret-mode parity tests")
 @pytest.mark.parametrize("mode,pipe,rel_band,cos_band", [
     ("i8", "2", 5e-2, 0.995),
     # all-int4 gradient GEMMs (the feature-major layout's raison d'etre):
