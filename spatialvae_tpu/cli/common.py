@@ -151,9 +151,26 @@ def maybe_resume(trainer, args) -> int:
         assert kind == "inference", args.resume_inference
         params["q"] = p
         print(f"# resumed inference net from {args.resume_inference}")
+    if trainer.mesh is not None:
+        # checkpoints load as host numpy arrays; without re-placement they
+        # would silently replace the shard_params-placed tree with
+        # replicated copies (a TP resume would replicate the q first
+        # layer).  Re-apply the same layout the trainer's init used.
+        from spatialvae_tpu.parallel.sharding import shard_params
+
+        params = shard_params(params, trainer.mesh, trainer.tp_mode)
     start_epoch = 0
     if getattr(args, "resume_optimizer", None):
         opt_state, epoch = load_optimizer(args.resume_optimizer)
+        if trainer.mesh is not None:
+            # Adam moments are params-shaped: place them leaf-for-leaf
+            # like the params they belong to
+            from spatialvae_tpu.parallel.sharding import param_shardings
+
+            sh = param_shardings(params, trainer.mesh, trainer.tp_mode)
+            opt_state = opt_state._replace(
+                mu=jax.device_put(opt_state.mu, sh),
+                nu=jax.device_put(opt_state.nu, sh))
         start_epoch = epoch + 1
         print(f"# resumed optimizer state from {args.resume_optimizer} "
               f"(continuing at epoch {start_epoch + 1})")

@@ -18,8 +18,6 @@ from __future__ import annotations
 import jax
 from jax.sharding import PartitionSpec as P
 
-import optax
-
 
 def make_spmd_step(trainer, mesh, *, fold_shard_key=None):
     """Un-jitted shard_map step for composition inside the epoch scan.
@@ -44,43 +42,21 @@ def make_spmd_step(trainer, mesh, *, fold_shard_key=None):
         including the round-2 throughput stack: the loss differentiates
         the bf16 shadow copy when present, the int8 encoder weights
         (qshadow) and prequantized data batch (y_q8) feed the int8 MXU,
-        and the update runs through the fused update+apply — all
-        per-device on replicated params, so every device emits identical
-        state."""
+        and the update runs through the SAME shared apply_update helper
+        as the single-chip and tail steps — all per-device on replicated
+        params, so every device emits identical state."""
+        from spatialvae_tpu.train.trainer import apply_update, grad_target
+
         idx = jax.lax.axis_index("data")
         key = fold(key, idx)                   # decorrelate shard noise
-        if state.shadow is not None:
-            qq = None
-            if state.qshadow is not None:
-                qq = [e["w"] for e in state.qshadow["q"]["layers"][:-1]]
-            (_, aux), grads = grad_fn(state.shadow, y, ctf, key, z_scale,
-                                      y_t=y_t, q_quant=qq, y_q8=y_q8)
-        else:
-            (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale,
-                                      y_t=y_t)
+        target, qq = grad_target(state)
+        (_, aux), grads = grad_fn(
+            target, y, ctf, key, z_scale, y_t=y_t, q_quant=qq,
+            y_q8=y_q8 if state.shadow is not None else None)
         grads = jax.lax.pmean(grads, "data")   # global-batch gradient
         aux = jax.lax.pmean(aux, "data")       # equal shards -> exact mean
-        if state.shadow is not None:
-            cd = trainer._compute_dtype
-            if state.qshadow is not None:
-                from spatialvae_tpu.train.trainer import _QENC_MIN_ELEMS
-
-                params, opt_state, shadow, qshadow = \
-                    optimizer.update_apply(
-                        grads, state.opt_state, state.params,
-                        shadow_dtype=cd, quant_min_elems=_QENC_MIN_ELEMS)
-                return type(state)(params, opt_state, shadow, qshadow), aux
-            params, opt_state, shadow = optimizer.update_apply(
-                grads, state.opt_state, state.params, shadow_dtype=cd)
-            return type(state)(params, opt_state, shadow), aux
-        if hasattr(optimizer, "update_apply"):
-            params, opt_state = optimizer.update_apply(
-                grads, state.opt_state, state.params)
-        else:
-            updates, opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-            params = optax.apply_updates(state.params, updates)
-        return type(state)(params, opt_state), aux
+        return apply_update(optimizer, state, grads,
+                            trainer._compute_dtype), aux
 
     def spec(state_like):
         return jax.tree_util.tree_map(lambda _: P(), state_like)

@@ -98,6 +98,54 @@ def _quantize_dataset(arr):
     return q, s
 
 
+def grad_target(state: "TrainState"):
+    """(tree to differentiate, q_quant) for a training step.
+
+    The loss differentiates the bf16 shadow copy when present (the Adam
+    pass emitted it last step); the int8 encoder weights ride along when
+    the qshadow is populated.  One definition shared by the single-chip
+    step and the shard_map per-device step so the two can never drift."""
+    if state.shadow is None:
+        return state.params, None
+    qq = None
+    if state.qshadow is not None:
+        qq = [e["w"] for e in state.qshadow["q"]["layers"][:-1]]
+    return state.shadow, qq
+
+
+def apply_update(optimizer, state: "TrainState", grads, compute_dtype
+                 ) -> "TrainState":
+    """Adam update + shadow/qshadow emission -> next TrainState.
+
+    The ONE implementation of the post-gradient half of a training step,
+    shared by trainer.train_step, the mesh tail step and spmd.per_device
+    (the round-3 tail-drift bug came from this logic existing in three
+    places).  Whatever throughput stack the state carries (bf16 shadow,
+    int8 encoder weights) is re-emitted by the same fused update+apply
+    pass; a state without them takes the plain update path."""
+    if state.shadow is not None:
+        if state.qshadow is not None:
+            params, opt_state, shadow, qshadow = optimizer.update_apply(
+                grads, state.opt_state, state.params,
+                shadow_dtype=compute_dtype,
+                quant_min_elems=_QENC_MIN_ELEMS)
+            return TrainState(params, opt_state, shadow, qshadow)
+        params, opt_state, shadow = optimizer.update_apply(
+            grads, state.opt_state, state.params,
+            shadow_dtype=compute_dtype)
+        return TrainState(params, opt_state, shadow)
+    if hasattr(optimizer, "update_apply"):
+        # fused_adam upcasts mixed-precision grads inside its single
+        # elementwise pass — no materialised f32 gradient copy
+        params, opt_state = optimizer.update_apply(
+            grads, state.opt_state, state.params)
+    else:
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state)
+
+
 def _warn_nonfinite(m: np.ndarray, epoch_base: int,
                     step_base: int = 0) -> None:
     """Divergence warning for a (..., num_batches, 3) metric array; the
@@ -129,6 +177,9 @@ class Trainer:
         self.coords = jnp.asarray(coords)
         self.mask = None if mask is None else jnp.asarray(mask)
         self.mesh = mesh
+        # remembered so resume (cli.common.maybe_resume) can re-place
+        # loaded checkpoints with the same TP layout the init used
+        self.tp_mode = tp_mode
 
         key = jax.random.PRNGKey(tcfg.seed)
         self.base_key, kq, kp = jax.random.split(key, 3)
@@ -281,28 +332,16 @@ class Trainer:
                 has_aux=True)
 
             def tail_step(state, y, ctf, key, z_scale):
+                # the tail differentiates the f32 params directly (the XLA
+                # decoder path needs no bf16 shadow), but apply_update
+                # re-emits whatever shadow/qshadow the state carries so the
+                # tail does not silently strip the throughput stack (the
+                # next epoch's scan would otherwise trace the non-shadow
+                # branch: different numerics path + a fresh compile)
                 (_, aux), grads = tail_grad(state.params, y, ctf, key,
                                             z_scale)
-                updates, opt_state = self.optimizer.update(
-                    grads, state.opt_state, state.params)
-                params = optax.apply_updates(state.params, updates)
-                # re-emit shadow/qshadow so the tail does not silently
-                # strip the throughput stack from the state (the next
-                # epoch's scan would otherwise trace the non-shadow
-                # branch: different numerics path + a fresh compile)
-                shadow = (_cast_tree(params, self._compute_dtype)
-                          if state.shadow is not None else None)
-                qshadow = None
-                if state.qshadow is not None:
-                    from spatialvae_tpu.train.optimizer_pallas import (
-                        quantize_leaf,
-                    )
-
-                    qshadow = jax.tree_util.tree_map(
-                        lambda p: quantize_leaf(
-                            p, p.ndim == 2 and p.size >= _QENC_MIN_ELEMS),
-                        params)
-                return TrainState(params, opt_state, shadow, qshadow), aux
+                return apply_update(self.optimizer, state, grads,
+                                    self._compute_dtype), aux
 
             self._tail_step = jax.jit(
                 tail_step,
@@ -310,42 +349,16 @@ class Trainer:
         else:
             def train_step(state, y, ctf, key, z_scale, y_t=None,
                            y_q8=None):
-                if state.shadow is not None:
-                    # bf16 shadow path: the loss differentiates the
-                    # compute-dtype copy the previous Adam pass emitted —
-                    # no per-step f32->bf16 cast, bf16 gradients, and the
-                    # next shadow rides out of the same Adam kernel
-                    qq = None
-                    if state.qshadow is not None:
-                        qq = [e["w"] for e
-                              in state.qshadow["q"]["layers"][:-1]]
-                    (_, aux), grads = grad_fn(state.shadow, y, ctf, key,
-                                              z_scale, y_t=y_t, q_quant=qq,
-                                              y_q8=y_q8)
-                    if state.qshadow is not None:
-                        params, opt_state, shadow, qshadow = \
-                            self.optimizer.update_apply(
-                                grads, state.opt_state, state.params,
-                                shadow_dtype=self._compute_dtype,
-                                quant_min_elems=_QENC_MIN_ELEMS)
-                        return TrainState(params, opt_state, shadow,
-                                          qshadow), aux
-                    params, opt_state, shadow = self.optimizer.update_apply(
-                        grads, state.opt_state, state.params,
-                        shadow_dtype=self._compute_dtype)
-                    return TrainState(params, opt_state, shadow), aux
-                (_, aux), grads = grad_fn(state.params, y, ctf, key, z_scale,
-                                          y_t=y_t)
-                # fused_adam upcasts mixed-precision grads inside its single
-                # elementwise pass — no materialised f32 gradient copy
-                if hasattr(self.optimizer, "update_apply"):
-                    params, opt_state = self.optimizer.update_apply(
-                        grads, state.opt_state, state.params)
-                else:
-                    updates, opt_state = self.optimizer.update(
-                        grads, state.opt_state, state.params)
-                    params = optax.apply_updates(state.params, updates)
-                return TrainState(params, opt_state), aux
+                # bf16 shadow path: the loss differentiates the
+                # compute-dtype copy the previous Adam pass emitted —
+                # no per-step f32->bf16 cast, bf16 gradients, and the
+                # next shadow rides out of the same Adam kernel
+                target, qq = grad_target(state)
+                (_, aux), grads = grad_fn(
+                    target, y, ctf, key, z_scale, y_t=y_t, q_quant=qq,
+                    y_q8=y_q8 if state.shadow is not None else None)
+                return apply_update(self.optimizer, state, grads,
+                                    self._compute_dtype), aux
 
         def eval_step(params, y, ctf, key, z_scale, y_t=None):
             _, aux = self._loss(params, y, ctf, key, z_scale,
