@@ -45,11 +45,27 @@ def add_common_extras(parser: argparse.ArgumentParser):
             help="write a jax.profiler trace of epoch 1 here (additive)")
     add_arg(parser, "--mesh-model", type=int, default=1,
             help="model/pixel mesh axis size for multi-chip runs (additive)")
+    add_arg(parser, "--coordinator", default=None,
+            help="multi-host: coordinator address host:port for "
+                 "jax.distributed.initialize (additive; on Cloud TPU pods "
+                 "all three multi-host args are auto-detected — pass "
+                 "--num-processes alone to opt in to auto-detection)")
+    add_arg(parser, "--num-processes", type=int, default=None,
+            help="multi-host: total number of processes in the run "
+                 "(additive)")
+    add_arg(parser, "--process-id", type=int, default=None,
+            help="multi-host: this process's index in [0, num-processes) "
+                 "(additive)")
     add_arg(parser, "--tp-mode", choices=["column", "row"],
             default="column",
             help="q first-layer tensor-parallel layout: 'column' shards "
                  "output features; 'row' shards the input-pixel dimension "
                  "(for images that outgrow one chip) (additive)")
+    add_arg(parser, "--eval-interval", type=int, default=1,
+            help="evaluate/dump every N epochs instead of every epoch "
+                 "(additive; N>1 trains the epochs between evals as ONE "
+                 "device dispatch — the multi-epoch in-graph scan — with "
+                 "an identical training trajectory)")
     add_arg(parser, "--no-fused", action="store_true",
             help="disable the fused Pallas decoder kernel (additive)")
     add_arg(parser, "--int8-decoder", action="store_true",
@@ -85,9 +101,30 @@ def _use_fused(args) -> bool:
         return False
 
 
+def maybe_multihost(args) -> bool:
+    """Join a multi-host run when any of the --coordinator /
+    --num-processes / --process-id flags are given (SURVEY 5.8; the mesh
+    then spans every process's devices).  Must run before the first
+    jax.devices() call.  Returns True if initialization happened."""
+    coord = getattr(args, "coordinator", None)
+    nproc = getattr(args, "num_processes", None)
+    pid = getattr(args, "process_id", None)
+    if coord is None and nproc is None and pid is None:
+        return False
+    from spatialvae_tpu.parallel.mesh import initialize_multihost
+
+    initialize_multihost(coordinator_address=coord, num_processes=nproc,
+                         process_id=pid)
+    print(f"# multi-host: process {jax.process_index()} of "
+          f"{jax.process_count()}, {len(jax.devices())} global devices")
+    return True
+
+
 def maybe_mesh(args):
     """Create a ('data', 'model') mesh when more than one device is visible
-    (or --mesh-model asks for model parallelism); None on a single chip."""
+    (or --mesh-model asks for model parallelism); None on a single chip.
+    Joins a multi-host run first when the multi-host flags are given."""
+    maybe_multihost(args)
     n = len(jax.devices())
     model = getattr(args, "mesh_model", 1) or 1
     if n <= 1:
@@ -178,6 +215,35 @@ def maybe_resume(trainer, args) -> int:
         opt_state = trainer.optimizer.init(params)
     trainer.state = TrainState(params, opt_state)
     return start_epoch
+
+
+def chunk_len(epoch: int, num_epochs: int, eval_interval: int,
+              save_interval=None) -> int:
+    """Epochs to train before the next eval point: capped by the run end
+    AND by the next save-interval boundary, so --eval-interval N never
+    skips a checkpoint/image-dump epoch."""
+    chunk = max(1, min(eval_interval, num_epochs - epoch))
+    if save_interval:
+        chunk = min(chunk, save_interval - (epoch % save_interval))
+    return chunk
+
+
+def train_chunk(trainer, dataset, epoch: int, num_epochs: int,
+                eval_interval: int, save_interval=None):
+    """Train up to the next eval point; returns
+    [(epoch_index, (elbo, gen_loss, kl)), ...] for epochs
+    [epoch, epoch + chunk).
+
+    eval_interval == 1 is the reference behavior (one epoch, progress
+    line, then the caller evals).  For N > 1 the chunk of epochs runs as
+    ONE device dispatch via Trainer.train_epochs (multi-epoch in-graph
+    scan — same trajectory bit-for-bit, no per-epoch host round-trip)."""
+    chunk = chunk_len(epoch, num_epochs, eval_interval, save_interval)
+    if chunk == 1:
+        return [(epoch, trainer.train_epoch(dataset, epoch))]
+    rows = trainer.train_epochs(dataset, epoch, chunk)
+    return [(epoch + i, tuple(float(v) for v in row))
+            for i, row in enumerate(rows)]
 
 
 @contextlib.contextmanager

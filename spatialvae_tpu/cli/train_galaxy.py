@@ -31,6 +31,7 @@ from spatialvae_tpu.cli.common import (
     add_common_extras,
     device_context,
     resolve_activation_name,
+    train_chunk,
 )
 
 LOGGING_LEVELS = {"CRITICAL": 50, "ERROR": 40, "WARNING": 30, "INFO": 20,
@@ -257,29 +258,38 @@ def run(args):
 
         import jax
 
-        for epoch in range(start_epoch, num_epochs):
-            z_scale = 0.0 if epoch < args.z_delay else 1.0
-            epoch_str = str(epoch + 1).zfill(digits)
-            if args.profile_dir and epoch == 1:
-                jax.profiler.start_trace(args.profile_dir)
-            tr = trainer.train_epoch(data_train, epoch)
-            row = [epoch, *tr]
-            train_results.append(row)
-            line = "\t".join(map(str, row))
-            train_lines.append(line)
-            print(line, flush=True)
+        from spatialvae_tpu.cli.common import chunk_len
 
-            va = trainer.eval_epoch(data_val, epoch, z_scale=z_scale)
-            if (epoch + 1) % save_interval == 0:
+        eval_interval = max(1, getattr(args, "eval_interval", 1))
+        epoch = start_epoch
+        while epoch < num_epochs:
+            tracing = args.profile_dir is not None and epoch <= 1 < \
+                epoch + chunk_len(epoch, num_epochs, eval_interval,
+                                  save_interval)
+            if tracing:
+                jax.profiler.start_trace(args.profile_dir)
+            for e, tr in train_chunk(trainer, data_train, epoch,
+                                     num_epochs, eval_interval,
+                                     save_interval):
+                row = [e, *tr]
+                train_results.append(row)
+                line = "\t".join(map(str, row))
+                train_lines.append(line)
+                print(line, flush=True)
+                epoch = e + 1
+            z_scale = 0.0 if (epoch - 1) < args.z_delay else 1.0
+            epoch_str = str(epoch).zfill(digits)
+            va = trainer.eval_epoch(data_val, epoch - 1, z_scale=z_scale)
+            if epoch % save_interval == 0:
                 _dump_images(trainer, data_val, args.minibatch_size, z_dim,
                              z_scale, image_dims, outputs.output_dir,
                              epoch_str, label)
-            row = [epoch, *va]
+            row = [epoch - 1, *va]
             val_results.append(row)
             line = "\t".join(map(str, row))
             val_lines.append(line)
             print(line, flush=True)
-            if args.profile_dir and epoch == 1:
+            if tracing:
                 jax.profiler.stop_trace()
 
         # blocking: the zip archive below must include the checkpoints

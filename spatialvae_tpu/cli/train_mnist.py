@@ -24,6 +24,7 @@ from spatialvae_tpu.cli.common import (
     add_common_extras,
     device_context,
     resolve_activation_name,
+    train_chunk,
 )
 
 
@@ -271,28 +272,38 @@ def run(args):
         train_results, val_results = [], []
         train_lines, val_lines = [header], [header]
 
-        prof_dir = args.profile_dir
-        for epoch in range(start_epoch, num_epochs):
-            if prof_dir and epoch == 1:
-                jax.profiler.start_trace(prof_dir)
-            epoch_str = str(epoch + 1).zfill(digits)
-            tr = trainer.train_epoch(data_train, epoch)
-            row = [epoch, *tr]
-            train_results.append(row)
-            line = "\t".join(map(str, row))
-            train_lines.append(line)
-            print(line, flush=True)
+        from spatialvae_tpu.cli.common import chunk_len
 
-            va = trainer.eval_epoch(data_test, epoch)
-            if (epoch + 1) % save_interval == 0:
+        prof_dir = args.profile_dir
+        eval_interval = max(1, getattr(args, "eval_interval", 1))
+        epoch = start_epoch
+        while epoch < num_epochs:
+            tracing = prof_dir is not None and epoch <= 1 < epoch + \
+                chunk_len(epoch, num_epochs, eval_interval, save_interval)
+            if tracing:
+                jax.profiler.start_trace(prof_dir)
+            for e, tr in train_chunk(trainer, data_train, epoch,
+                                     num_epochs, eval_interval,
+                                     save_interval):
+                row = [e, *tr]
+                train_results.append(row)
+                line = "\t".join(map(str, row))
+                train_lines.append(line)
+                print(line, flush=True)
+                epoch = e + 1
+            # reference behavior at eval_interval=1: eval every epoch;
+            # N>1 evals only at chunk boundaries (additive flag)
+            va = trainer.eval_epoch(data_test, epoch - 1)
+            epoch_str = str(epoch).zfill(digits)
+            if epoch % save_interval == 0:
                 _dump_images(trainer, data_test, args.minibatch_size,
                              image_dims, outputs.output_dir, epoch_str, label)
-            row = [epoch, *va]
+            row = [epoch - 1, *va]
             val_results.append(row)
             line = "\t".join(map(str, row))
             val_lines.append(line)
             print(line, flush=True)
-            if prof_dir and epoch == 1:
+            if tracing:
                 jax.profiler.stop_trace()
 
         # blocking: the zip archive below must include the checkpoints

@@ -26,6 +26,7 @@ from spatialvae_tpu.cli.common import (
     add_common_extras,
     device_context,
     resolve_activation_name,
+    train_chunk,
 )
 
 
@@ -264,21 +265,32 @@ def run(args):
 
         import jax
 
-        for epoch in range(start_epoch, num_epochs):
-            z_scale = 0.0 if epoch < args.z_delay else 1.0
-            if args.profile_dir and epoch == 1:
+        from spatialvae_tpu.cli.common import chunk_len
+
+        eval_interval = max(1, getattr(args, "eval_interval", 1))
+        epoch = start_epoch
+        while epoch < num_epochs:
+            tracing = args.profile_dir is not None and epoch <= 1 < \
+                epoch + chunk_len(epoch, num_epochs, eval_interval,
+                                  args.save_interval)
+            if tracing:
                 jax.profiler.start_trace(args.profile_dir)
-            tr = trainer.train_epoch(data_train, epoch)
-            print("\t".join([str(epoch + 1), "train", *map(str, tr)]),
-                  flush=True)
-            va = trainer.eval_epoch(data_test, epoch, z_scale=z_scale)
-            print("\t".join([str(epoch + 1), "test", *map(str, va)]),
+            for e, tr in train_chunk(trainer, data_train, epoch,
+                                     num_epochs, eval_interval,
+                                     args.save_interval):
+                print("\t".join([str(e + 1), "train", *map(str, tr)]),
+                      flush=True)
+                epoch = e + 1
+            z_scale = 0.0 if (epoch - 1) < args.z_delay else 1.0
+            va = trainer.eval_epoch(data_test, epoch - 1, z_scale=z_scale)
+            print("\t".join([str(epoch), "test", *map(str, va)]),
                   flush=True)
 
             # per-interval checkpoints to the bare prefix
-            # (train_particles.py:529-543)
+            # (train_particles.py:529-543); chunk_len never crosses a
+            # save boundary, so the cadence survives --eval-interval
             saved = save_trained_models(
-                args.save_prefix, epoch, digits,
+                args.save_prefix, epoch - 1, digits,
                 args.save_interval, None,
                 trainer.state.params["p"], p_cfg,
                 trainer.state.params["q"], q_cfg,
@@ -291,9 +303,9 @@ def run(args):
                 )
 
                 save_optimizer(
-                    optimizer_path(args.save_prefix, epoch, digits),
-                    trainer.state.opt_state, epoch, async_write=True)
-            if args.profile_dir and epoch == 1:
+                    optimizer_path(args.save_prefix, epoch - 1, digits),
+                    trainer.state.opt_state, epoch - 1, async_write=True)
+            if tracing:
                 jax.profiler.stop_trace()
 
         from spatialvae_tpu.train.checkpoint import wait_for_checkpoints

@@ -39,6 +39,7 @@ expand_coords/bilinear — those make the first layer nonlinear in x) with
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spatialvae_tpu.core.config import SpatialGeneratorConfig
+
+
+def _interpret() -> bool:
+    """SPATIALVAE_INTERPRET=1: per-call interpret (plain XLA lowering) for
+    CPU mesh tests/dryruns — pltpu.force_tpu_interpret_mode around
+    shard_map livelocks in the Mosaic interpreter's device-barrier clocks
+    (CLAUDE.md), so the dryrun sets this env hook instead."""
+    return os.environ.get("SPATIALVAE_INTERPRET") == "1"
 
 
 def can_fuse_decoder(cfg: SpatialGeneratorConfig, hw: int) -> bool:
@@ -151,6 +160,7 @@ def _fwd_pallas(fold, coords, whid, bhid, wht, bht, resid):
         # 128 MB/core); some batch shapes land a few hundred KB over it
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=40 * 1024 * 1024),
+        interpret=_interpret(),
     )(coords, fold, whid, bhid, wht, bht)
 
 
@@ -312,6 +322,7 @@ def _bwd_pallas(fold, coords, whid, wht, acts, y, g, resid):
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=40 * 1024 * 1024),
+        interpret=_interpret(),
     )(coords, fold, whid, wht, acts, y, g)
 
 

@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spatialvae_tpu.core.config import SpatialGeneratorConfig
+from spatialvae_tpu.kernels.fused_decoder import _interpret
 
 
 def can_fuse_int8(cfg: SpatialGeneratorConfig, hw: int) -> bool:
@@ -193,6 +194,7 @@ def _fwd_pallas(fold, coords, w1q, sw, b1, wht, bht):
             jax.ShapeDtypeStruct((b, n_out, hw), jnp.float32),
             jax.ShapeDtypeStruct((b, hw, h), jnp.bfloat16),
         ),
+        interpret=_interpret(),
     )(coords, fold, w1q, sw, b1, wht, bht)
 
 
@@ -236,6 +238,7 @@ def _bwd_pallas(fold, coords, w1q, sw, wht, a1, y, g):
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        interpret=_interpret(),
     )(coords, fold, w1q, sw, wht, a1, y, g)
 
 

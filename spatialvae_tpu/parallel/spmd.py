@@ -79,3 +79,45 @@ def make_spmd_train_step(trainer, mesh, *, fold_shard_key=None):
     """Jitted standalone variant of make_spmd_step."""
     return jax.jit(make_spmd_step(trainer, mesh,
                                   fold_shard_key=fold_shard_key))
+
+
+def make_spmd_eval_step(trainer, mesh):
+    """Un-jitted shard_map EVAL step: each device runs the fused forward
+    decoder on its batch shard.
+
+    Without this, eval under a DP mesh forfeits the Pallas forward decoder
+    entirely (GSPMD cannot partition a pallas_call, so the plain-jit eval
+    falls back to the XLA decoder) — and the CLIs evaluate every epoch.
+    Only the fused LOSS kernel stays off: eval needs no gradients, and the
+    loss kernel's primal computes all five of them.
+
+    The reparameterisation noise is drawn OUTSIDE the shard_map from the
+    same key and (global-batch, inf_dim) shape the single-chip eval uses,
+    then sharded over 'data' — so mesh eval matches single-chip eval up to
+    shard-reduction reordering (tested in test_spmd.py)."""
+    import dataclasses
+
+    assert mesh.shape.get("model", 1) == 1, \
+        "spmd eval is DP-only; use the GSPMD path for model parallelism"
+    eval_ecfg = dataclasses.replace(trainer.ecfg, fused_loss=False)
+
+    def per_device(params, y, ctf, key, z_scale, noise):
+        _, aux = trainer._loss(params, y, ctf, key, z_scale,
+                               ecfg=eval_ecfg, augment=False, noise=noise)
+        return jax.lax.pmean(aux, "data")   # equal shards -> exact mean
+
+    def spec(tree):
+        return jax.tree_util.tree_map(lambda _: P(), tree)
+
+    def step(params, y, ctf, key, z_scale):
+        noise = jax.random.normal(
+            key, (y.shape[0], trainer.q_cfg.latent_dim),
+            dtype=trainer._compute_dtype)
+        in_specs = (spec(params), P("data"),
+                    P("data") if ctf is not None else None,
+                    P(), P(), P("data"))
+        fn = jax.shard_map(per_device, mesh=mesh, in_specs=in_specs,
+                           out_specs=P(), check_vma=False)
+        return fn(params, y, ctf, key, z_scale, noise)
+
+    return step

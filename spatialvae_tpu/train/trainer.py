@@ -234,7 +234,7 @@ class Trainer:
 
     # ------------------------------------------------------------------ loss
     def _loss(self, params, y, ctf, key, z_scale, ecfg=None, y_t=None,
-              q_quant=None, y_q8=None, augment=True):
+              q_quant=None, y_q8=None, augment=True, noise=None):
         ecfg = ecfg or self.ecfg
         cd = self._compute_dtype
         q_params = _cast_tree(params["q"], cd)
@@ -263,6 +263,7 @@ class Trainer:
         elbo, log_p, kl, _ = elbo_minibatch(
             q_params, p_params, self.q_cfg, self.p_cfg, ecfg,
             coords, y, key,
+            noise=noise,
             y_inf=y_inf, offsets=offsets, z_scale=z_scale,
             ctf=None if ctf is None else ctf.astype(cd),
             mask=self.mask,
@@ -360,7 +361,20 @@ class Trainer:
                 return apply_update(self.optimizer, state, grads,
                                     self._compute_dtype), aux
 
+        # eval under a DP mesh keeps the fused FORWARD decoder by running
+        # per-device inside shard_map like training does (plain-jit GSPMD
+        # eval would forfeit the pallas_call and pay the XLA decoder every
+        # epoch); non-divisible batches fall back to the GSPMD path below
+        self._spmd_eval = None
+        if self._spmd:
+            from spatialvae_tpu.parallel.spmd import make_spmd_eval_step
+
+            self._spmd_eval = make_spmd_eval_step(self, self.mesh)
+
         def eval_step(params, y, ctf, key, z_scale, y_t=None):
+            if (self._spmd_eval is not None
+                    and y.shape[0] % self.mesh.shape["data"] == 0):
+                return self._spmd_eval(params, y, ctf, key, z_scale)
             _, aux = self._loss(params, y, ctf, key, z_scale,
                                 ecfg=self._nonstep_ecfg, y_t=y_t,
                                 augment=False)

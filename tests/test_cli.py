@@ -77,6 +77,38 @@ def test_mnist_cli_contract(workdir, capsys):
     assert (root / "train.txt").read_text().splitlines()[1] == lines[1]
 
 
+def test_mnist_cli_eval_interval_matches_trajectory(workdir, capsys):
+    """--eval-interval N (additive): N>1 rides the one-dispatch multi-epoch
+    scan between evals; the train-metric trajectory must match the N=1
+    (reference-behavior) run, with evals only at chunk boundaries."""
+    from spatialvae_tpu.cli.train_mnist import main
+
+    _mk_mnist(workdir)
+    for i, extra in enumerate([[], ["--eval-interval", "2"]]):
+        main(["--dataset", "mnist-rotated", "--num_epochs", "4",
+              "--minibatch_size", "32", "--save_interval", "4",
+              "--save_prefix", f"ei{i}", "--p_hidden_dim", "16",
+              "--q_hidden_dim", "16", *extra])
+        capsys.readouterr()
+
+    def rows(path):
+        lines = (workdir / path).read_text().splitlines()[1:]
+        return np.asarray([[float(v) for v in ln.split("\t")]
+                           for ln in lines])
+
+    tr0 = rows("outputs_ei0/train.txt")
+    tr1 = rows("outputs_ei1/train.txt")
+    assert tr0.shape == tr1.shape == (4, 4)
+    np.testing.assert_allclose(tr1, tr0, rtol=1e-6, atol=1e-7)
+    # evals happen only at the chunk boundaries (epochs 2 and 4)
+    va0 = rows("outputs_ei0/val.txt")
+    va1 = rows("outputs_ei1/val.txt")
+    assert va0.shape == (4, 4) and va1.shape == (2, 4)
+    assert list(va1[:, 0]) == [1.0, 3.0]
+    # the boundary evals agree with the per-epoch run's same-epoch evals
+    np.testing.assert_allclose(va1, va0[[1, 3]], rtol=1e-6, atol=1e-7)
+
+
 def test_mnist_cli_vanilla(workdir, capsys):
     from spatialvae_tpu.cli.train_mnist import main
 
