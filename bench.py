@@ -54,8 +54,14 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
     trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m))
 
     key = jax.random.PRNGKey(0)
+    # int8 mode stores the dataset in the compute dtype: on the full int8
+    # path the image gather is dead code (y_t carries the targets, y_q8
+    # the encoder input — elbo.py/inference.py), so an f32 copy only
+    # burns HBM capacity.  It was the B=8192 OOM (commit 874ad9f):
+    # f32+bf16+int8 copies at N=131072 exceed 16 GB; bf16+bf16+int8 fit.
+    # The bf16 parity path keeps f32 ingest (its gathers are live).
     y = jax.random.uniform(key, (n_images, n * m, channels),
-                           dtype=jnp.float32)
+                           dtype=jnp.bfloat16 if int8 else jnp.float32)
     dataset = ArrayDataset(y)
 
     # warmup/compile with the SAME static epoch count the timed run uses
@@ -97,6 +103,7 @@ def main():
     # trajectory within 0.01%/epoch on the galaxy config (BASELINE.md);
     # --no-int8 falls back to the parity-exact bf16 fused path
     int8 = fused
+    steps = 16
     for a in sys.argv[1:]:
         if a == "--no-fused":
             fused = False
@@ -107,13 +114,16 @@ def main():
             int8 = True
         elif a == "--no-int8":
             int8 = False
+        elif a.startswith("steps="):
+            steps = int(a.split("=", 1)[1])
         else:
             batch = int(a)
 
     if compare:
-        xla = run_bench(batch, fused=False)
+        xla = run_bench(batch, fused=False, steps_per_epoch=steps)
         print(f"# XLA path: {xla:.0f} img/s", file=sys.stderr)
-    images_per_sec = run_bench(batch, fused=fused, int8=int8)
+    images_per_sec = run_bench(batch, fused=fused, int8=int8,
+                               steps_per_epoch=steps)
 
     mode = "int8" if int8 else "bf16"
     result = {
