@@ -33,11 +33,14 @@ dfold is computed on the MXU from a bf16 dh0 against bf16-rounded coords.
 The bf16 fused kernel (fused_decoder.py) remains the parity path.
 Long-horizon ELBO agreement is validated by tools/int8_horizon.py.
 
-Supported family: foldable SpatialGenerator, num_layers=2, no resid, no
-softplus, n_out<=8, bernoulli likelihood, no CTF/mask, HW % tile == 0,
-even batch (galaxy flagship).  elbo.py falls back to the split kernels otherwise.
+Supported families: foldable SpatialGenerator, num_layers=2, no resid, no
+softplus, HW % tile == 0, even batch, with either the bernoulli likelihood
+(n_out<=8 — galaxy flagship) or the gaussian likelihood (n_out=1 — the
+particles no-fit-noise configs), each with an optional per-pixel mask.
+CTF and the colored (--fit-noise) family fall back to the XLA path.
 Reference math: /root/reference/spatial_vae/models.py:90-132 +
-train_galaxy.py:27-128 (BCE x channels).
+train_galaxy.py:27-128 (BCE x channels) + train_particles.py:126-139
+(masked gaussian).
 """
 
 from __future__ import annotations
@@ -214,8 +217,19 @@ def _pick_tile(hw: int) -> int:
 
 def can_fuse_loss_int8(cfg: SpatialGeneratorConfig, hw: int,
                        likelihood: str) -> bool:
-    return (likelihood == "bernoulli"
-            and not cfg.expand_coords and not cfg.bilinear and not cfg.resid
+    """Bernoulli (galaxy/mnist BCE) and gaussian (particles no-fit-noise,
+    train_particles.py:139) both ride the kernel: the gaussian backward
+    replaces p3's (s - y) with mask*(s - y_mu)*s*(1 - s) — same (No, Pt)
+    elementwise footprint, identical phases everywhere else.  The colored
+    (--fit-noise) family keeps the XLA path: its interleaved two-channel
+    head (train_particles.py:102-110) breaks the per-tile target layout."""
+    if likelihood == "gaussian":
+        # grayscale particles head only; fit-noise (n_out=2) falls back
+        if cfg.n_out != 1:
+            return False
+    elif likelihood != "bernoulli":
+        return False
+    return (not cfg.expand_coords and not cfg.bilinear and not cfg.resid
             and not cfg.softplus
             and cfg.num_layers == 2 and cfg.n_out <= 8
             and hw >= 1024 and hw % _pick_tile(hw) == 0)
@@ -228,12 +242,15 @@ class _Phases:
     def __init__(self, r, aq, acc, sw_ref, h1s_ref, b1_ref, wht_ref,
                  bht_ref, yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4,
                  grad_mode, tanh_fn=jnp.tanh, rbits=None, epi="bf16",
-                 gscale="tile", a1q=False):
+                 gscale="tile", a1q=False, family="bernoulli",
+                 mask_ref=None):
         self.tanh = tanh_fn
         self.rbits = rbits      # (Pt, H) uint32: stochastic-round bits
         self.epi = epi          # epilogue elementwise dtype mode
         self.gscale = gscale    # gradient-quant scale engine (see top)
         self.a1q = a1q          # int8 a1 (see SPATIALVAE_A1Q at top)
+        self.family = family    # 'bernoulli' | 'gaussian' (p3 dispatch)
+        self.mask_ref = mask_ref  # optional (1, Pt) f32 pixel-mask tile
         self.r = r
         self.aq = aq            # (Pt, H) int8 (i4fwd: 4-bit values)
         self.acc = acc
@@ -289,12 +306,34 @@ class _Phases:
     def p3_bce(self):                                        # VPU (tiny)
         sig = jax.nn.sigmoid(self.z2)
         yt = self.yt_ref[self.r].astype(jnp.float32)         # (No, Pt)
-        # torch BCE clamps each log term at -100 (train_mnist.py:81)
-        log_s = jnp.maximum(jnp.log(sig), -100.0)
-        log_1ms = jnp.maximum(jnp.log1p(-sig), -100.0)
-        self.bce = -jnp.sum(yt * log_s + (1.0 - yt) * log_1ms)
-        # d bce / d z2 = s - y, except 0 where sigmoid saturates exactly
-        dz2 = jnp.where(sig * (1.0 - sig) == 0.0, 0.0, sig - yt)
+        m = (None if self.mask_ref is None
+             else self.mask_ref[0:1, :].astype(jnp.float32))  # (1, Pt)
+        if self.family == "gaussian":
+            # particles likelihood (train_particles.py:126-139): the
+            # generator's sigmoid output IS y_mu (models.py:85 appends
+            # nn.Sigmoid unconditionally), loss = 0.5*sum(mask*(s-y)^2),
+            # dz2 = mask*(s-y)*s*(1-s).  All (No, Pt) tiles — 2 orders
+            # smaller than the hidden tiles, so the extra multiply vs
+            # the bernoulli chain is invisible
+            d = sig - yt
+            sq = d * d
+            if m is not None:
+                sq = sq * m
+                d = d * m
+            self.bce = 0.5 * jnp.sum(sq)
+            dz2 = d * (sig * (1.0 - sig))
+        else:
+            # torch BCE clamps each log term at -100 (train_mnist.py:81)
+            log_s = jnp.maximum(jnp.log(sig), -100.0)
+            log_1ms = jnp.maximum(jnp.log1p(-sig), -100.0)
+            per = yt * log_s + (1.0 - yt) * log_1ms
+            if m is not None:
+                per = per * m
+            self.bce = -jnp.sum(per)
+            # d bce / d z2 = s - y, except 0 where sigmoid saturates exactly
+            dz2 = jnp.where(sig * (1.0 - sig) == 0.0, 0.0, sig - yt)
+            if m is not None:
+                dz2 = dz2 * m
         self.dz2 = dz2
         if self.a1q:
             # quantize the head cotangent too (it is (No, Pt) — 2 orders
@@ -548,10 +587,9 @@ class _Phases:
 
 
 def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
-            b1_ref, wht_ref, bht_ref, yt_ref, df_ref, dw1_ref, db1_ref,
-            dwht_ref, dbht_ref, w4s, w4fs, *, i4, grad_mode, mxu_build,
-            n_img, tanh_fn=jnp.tanh, use_sr=False, epi="bf16",
-            gscale="tile", a1q=False):
+            b1_ref, wht_ref, bht_ref, yt_ref, *refs, i4, grad_mode,
+            mxu_build, n_img, tanh_fn=jnp.tanh, use_sr=False, epi="bf16",
+            gscale="tile", a1q=False, family="bernoulli", has_mask=False):
     """Grid (B//n_img, tiles): n_img images x one pixel tile per step.
 
     Straight-line body (no control flow until the accumulator writes) so
@@ -559,7 +597,17 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
     other images' in-flight MXU work.  ``i4`` is jnp.int4 on hardware and
     jnp.int8 under interpret mode (bit-identical numerics: values are in
     [-7, 7] and accumulation is int32 either way).
+
+    ``refs`` holds [mask_ref (iff has_mask)] + 5 output refs + 2 scratch
+    refs — the mask operand exists ONLY in masked traces (round-2 lesson:
+    merely ADDING unused operands broke XLA-side fusion around the
+    pallas_call, +18 ms/step at the epoch level).
     """
+    if has_mask:
+        mask_ref, refs = refs[0], refs[1:]
+    else:
+        mask_ref = None
+    (df_ref, dw1_ref, db1_ref, dwht_ref, dbht_ref, w4s, w4fs) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -657,7 +705,7 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
         _Phases(r, aq, acc, sw_ref, h1s_ref, b1_ref, wht_ref, bht_ref,
                 yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode,
                 tanh_fn=tanh_fn, rbits=rbits_g, epi=epi, gscale=gscale,
-                a1q=a1q)
+                a1q=a1q, family=family, mask_ref=mask_ref)
         for r, (aq, acc) in enumerate(built)
     ]
     seq = ("p1_h1a1", "p2_head", "p3_bce", "p4_headbwd", "p5_dh1",
@@ -725,8 +773,8 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
         dbht_ref[:, :] += dbht
 
 
-def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
-                     interpret: bool = False):
+def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t, mask=None,
+                     family: str = "bernoulli", interpret: bool = False):
     b, _, h = fold.shape
     hw = coords.shape[0]
     n_out = wht.shape[0]
@@ -855,28 +903,38 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
     # under interpret (tests need deterministic round-to-nearest)
     use_sr = (os.environ.get("SPATIALVAE_SR", _SR_DEFAULT) == "1"
               and use_i4)
+    in_specs = [
+        pl.BlockSpec((pt, 4), lambda i, j: (j, 0), memory_space=vm),
+        pl.BlockSpec((n_img, 4, h), lambda i, j: (i, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((n_img, n_out, pt), lambda i, j: (i, 0, j),
+                     memory_space=vm),
+    ]
+    operands = [x3, fold, w1q, sw, h1s, w1q4, s4, b1, wht_op, bht, y_t]
+    has_mask = mask is not None
+    if has_mask:
+        # per-pixel mask tile, present ONLY in masked traces (adding an
+        # always-there unused operand broke XLA-side fusion in round 2)
+        in_specs.append(pl.BlockSpec((1, pt), lambda i, j: (0, j),
+                                     memory_space=vm))
+        operands.append(mask.reshape(1, hw).astype(jnp.float32))
     return pl.pallas_call(
         functools.partial(_kernel, i4=i4, grad_mode=grad_mode,
                           mxu_build=mxu_build, n_img=n_img,
                           tanh_fn=tanh_fn, use_sr=use_sr, epi=epi,
-                          gscale=gscale, a1q=a1q),
+                          gscale=gscale, a1q=a1q, family=family,
+                          has_mask=has_mask),
         grid=(b // n_img, tiles),
-        in_specs=[
-            pl.BlockSpec((pt, 4), lambda i, j: (j, 0), memory_space=vm),
-            pl.BlockSpec((n_img, 4, h), lambda i, j: (i, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
-            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
-            pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
-            pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
-            pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
-            pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
-            pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
-            pl.BlockSpec((n_img, n_out, pt), lambda i, j: (i, 0, j),
-                         memory_space=vm),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((h, h), i4), pltpu.VMEM((h, h), i4)],
@@ -890,7 +948,7 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
                 40 if n_img <= 2 else (80 if pt <= 1024 else 112)
             )) * 1024 * 1024),
         interpret=interpret,
-    )(x3, fold, w1q, sw, h1s, w1q4, s4, b1, wht_op, bht, y_t)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -898,46 +956,55 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t,
 # ---------------------------------------------------------------------------
 
 
-def _run(fold, coords, w1, b1, wht, bht, y_t, interpret):
+def _run(fold, coords, w1, b1, wht, bht, y_t, mask, family, interpret):
     dfold, dw1, db1, dwht, dbht = _lossgrad_pallas(
         fold, coords, w1, b1[None, :].astype(jnp.float32),
-        wht, bht[:, None], y_t, interpret=interpret)
+        wht, bht[:, None], y_t, mask=mask, family=family,
+        interpret=interpret)
     # the per-image BCE rides in dfold[:, 3, 0] (see _kernel); leaving it
     # in the gradient is harmless — row 3 multiplies the fold's zeros row
     return jnp.sum(dfold[:, 3, 0]), (dfold, dw1, db1, dwht, dbht)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def fused_decoder_bce_int8(fold, coords, w1, b1, wht, bht, y_t,
+                           mask=None, family: str = "bernoulli",
                            interpret: bool = False):
-    """Summed Bernoulli BCE of the int8 decoder over (B, HW, n_out) — with
-    its gradients computed in the same kernel pass.
+    """Summed reconstruction loss of the int8 decoder over (B, HW, n_out)
+    — with its gradients computed in the same kernel pass.
+
+    family 'bernoulli': torch-clamped BCE sum; 'gaussian': 0.5*sum(
+    mask*(sigmoid(head) - y)^2) (the particles likelihood — the reference
+    generator sigmoids unconditionally, models.py:85).
 
     fold: (B, 4, H) rows [w0, w1, c, 0]; coords: (HW, 2), HW tile-aligned;
     w1: (H, H); b1: (H,); wht: (n_out, H) pre-transposed head;
-    bht: (n_out,); y_t: (B, n_out, HW) targets.
+    bht: (n_out,); y_t: (B, n_out, HW) targets; mask: optional (HW,)
+    {0,1} pixel mask (train_particles.py:126-133).
 
     The VJP scales the precomputed gradients by the scalar cotangent, so it
     is exact for any scalar downstream of the returned sum (the training
-    loss uses bce/b).  y_t is treated as a constant (data).
+    loss uses loss/b).  y_t and mask are treated as constants (data).
     """
-    bce, _ = _run(fold, coords, w1, b1, wht, bht, y_t, interpret)
-    return bce
+    loss, _ = _run(fold, coords, w1, b1, wht, bht, y_t, mask, family,
+                   interpret)
+    return loss
 
 
-def _vjp_fwd(fold, coords, w1, b1, wht, bht, y_t, interpret):
-    bce, grads = _run(fold, coords, w1, b1, wht, bht, y_t, interpret)
+def _vjp_fwd(fold, coords, w1, b1, wht, bht, y_t, mask, family, interpret):
+    loss, grads = _run(fold, coords, w1, b1, wht, bht, y_t, mask, family,
+                       interpret)
     # zero-size dtype sentinels keep the residual pytree array-only
     sentinels = (jnp.zeros((0,), fold.dtype), jnp.zeros((0,), w1.dtype),
                  jnp.zeros((0,), b1.dtype), jnp.zeros((0,), wht.dtype))
-    return bce, (grads, sentinels)
+    return loss, (grads, sentinels)
 
 
-def _vjp_bwd(interpret, res, g):
+def _vjp_bwd(family, interpret, res, g):
     (dfold, dw1, db1, dwht, dbht), (f_s, w_s, b_s, h_s) = res
     return ((g * dfold).astype(f_s.dtype), None, (g * dw1).astype(w_s.dtype),
             (g * db1[0]).astype(b_s.dtype), (g * dwht).astype(h_s.dtype),
-            (g * dbht[:, 0]).astype(h_s.dtype), None)
+            (g * dbht[:, 0]).astype(h_s.dtype), None, None)
 
 
 fused_decoder_bce_int8.defvjp(_vjp_fwd, _vjp_bwd)
@@ -950,8 +1017,11 @@ fused_decoder_bce_int8.defvjp(_vjp_fwd, _vjp_bwd)
 
 def fused_bce_spatial_int8(params, cfg: SpatialGeneratorConfig,
                            coords, theta, dx, z, y, y_t=None,
+                           mask=None, family: str = "bernoulli",
                            interpret: bool = False):
-    """BCE sum for the foldable int8 decoder against targets y.
+    """Reconstruction-loss sum for the foldable int8 decoder against
+    targets y: clamped-BCE (family='bernoulli') or half-sum-of-squares on
+    the sigmoid output (family='gaussian', optionally masked).
 
     y: (B, HW) or (B, HW, C); alternatively pass ``y_t`` — the targets
     already transposed to (B, C, HW) — and the per-step relayout is skipped
@@ -959,7 +1029,7 @@ def fused_bce_spatial_int8(params, cfg: SpatialGeneratorConfig,
     that layout, hoisting the ~8 ms/step transpose out of the hot loop).
     Pose fold stays in XLA so dtheta/ddx/dz and the coord/latent weight
     grads flow through its autodiff from dfold.
-    Returns the summed BCE (scalar)."""
+    Returns the summed loss (scalar)."""
     from spatialvae_tpu.models.spatial import fold_pose_into_first_layer
 
     w0, w1f, c = fold_pose_into_first_layer(params, cfg, theta, dx, z)
@@ -973,4 +1043,5 @@ def fused_bce_spatial_int8(params, cfg: SpatialGeneratorConfig,
         # its compute dtype to halve the DMA
         y_t = y.reshape(b, hw, -1).swapaxes(1, 2)
     return fused_decoder_bce_int8(fold, coords, hidden["w"], hidden["b"],
-                                  head["w"].T, head["b"], y_t, interpret)
+                                  head["w"].T, head["b"], y_t, mask,
+                                  family, interpret)

@@ -77,11 +77,13 @@ def _bce_sum(y_hat: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 def fused_loss_active(ecfg: ElboConfig, p_cfg, hw: int, batch: int) -> bool:
     """True iff elbo_minibatch will take the fused int8 loss+grad kernel
-    path for this config (training, no CTF).  The trainer uses this to
-    decide whether to gather pre-transposed (B, C, HW) target batches."""
+    path for this config (training, no CTF; bernoulli or gaussian, with
+    or without a pixel mask).  The trainer uses this to decide whether to
+    gather pre-transposed (B, C, HW) target batches."""
     if ecfg.vanilla or not (ecfg.fused and ecfg.int8 and ecfg.fused_loss):
         return False
-    if ecfg.likelihood != "bernoulli" or not ecfg.use_fold or batch % 2:
+    if (ecfg.likelihood not in ("bernoulli", "gaussian")
+            or not ecfg.use_fold or batch % 2):
         return False
     if not can_fold(p_cfg):
         return False
@@ -168,31 +170,38 @@ def elbo_minibatch(
 
     z = z * z_scale
 
-    # ---- fused int8 decode+BCE+backward fast path ---------------------------
-    # one Pallas kernel computes the Bernoulli log-likelihood AND its
-    # gradients (kernels/fused_loss_int8.py); the decode never materialises
-    # mask is a non-default term the kernel does not implement — bernoulli
-    # + mask (legal via the library API even though no CLI produces it,
-    # train_particles.py:126-133 masks only the gaussian path) must fall
-    # back to the XLA path rather than silently computing an unmasked BCE
-    if (not want_y_hat and ctf is None and mask is None
+    # ---- fused int8 decode+loss+backward fast path --------------------------
+    # one Pallas kernel computes the reconstruction log-likelihood AND its
+    # gradients (kernels/fused_loss_int8.py); the decode never materialises.
+    # Covers bernoulli (BCE) and gaussian (particles half-sum-of-squares,
+    # train_particles.py:139) with an optional pixel mask (:126-133); the
+    # colored (--fit-noise) family and CTF runs take the XLA path below
+    if (not want_y_hat and ctf is None
             and fused_loss_active(ecfg, p_cfg, coords.shape[0], b)):
         import os
-        if os.environ.get("SPATIALVAE_LOSS_LAYOUT", "row") == "t":
+        if (os.environ.get("SPATIALVAE_LOSS_LAYOUT", "row") == "t"
+                and ecfg.likelihood == "bernoulli" and mask is None):
             # feature-major experiment (kernels/fused_loss_int8_t.py): its
             # int4-legal gradient GEMMs save ~10 ms of MXU floor but the
             # layout costs ~16 ms of VPU relayouts — measured SLOWER than
             # the row kernel (59.2 vs 48.4 ms at B=2048); kept for re-
-            # testing against future Mosaic releases
+            # testing against future Mosaic releases (bernoulli-only)
             from spatialvae_tpu.kernels.fused_loss_int8_t import (
-                fused_bce_spatial_int8_t as fused_bce,
+                fused_bce_spatial_int8_t,
             )
+            loss = fused_bce_spatial_int8_t(p_params, p_cfg, coords, theta,
+                                            dx, z, y, y_t=y_t)
         else:
             from spatialvae_tpu.kernels.fused_loss_int8 import (
-                fused_bce_spatial_int8 as fused_bce,
+                fused_bce_spatial_int8,
             )
-        bce = fused_bce(p_params, p_cfg, coords, theta, dx, z, y, y_t=y_t)
-        log_p = -bce / b
+            loss = fused_bce_spatial_int8(p_params, p_cfg, coords, theta,
+                                          dx, z, y, y_t=y_t, mask=mask,
+                                          family=ecfg.likelihood)
+        # bernoulli: -(sum BCE)/B; gaussian: -0.5*sum(mask*(mu-y)^2)/B —
+        # both are exactly the XLA paths' log_p (train_mnist.py:81,
+        # train_particles.py:139)
+        log_p = -loss / b
         z_kl = -z_logstd + 0.5 * z_std ** 2 + 0.5 * z_mu ** 2 - 0.5
         kl_div = jnp.mean(kl_div + jnp.sum(z_kl, axis=1))
         return log_p - kl_div, log_p, kl_div, None

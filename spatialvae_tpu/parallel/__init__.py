@@ -1,4 +1,8 @@
 from spatialvae_tpu.parallel.mesh import MeshConfig, create_mesh
+from spatialvae_tpu.parallel.pixel import (
+    can_pixel_shard,
+    make_pixel_sharded_loss,
+)
 from spatialvae_tpu.parallel.sharding import (
     batch_sharding,
     param_shardings,
@@ -13,4 +17,6 @@ __all__ = [
     "param_shardings",
     "shard_dataset",
     "shard_params",
+    "can_pixel_shard",
+    "make_pixel_sharded_loss",
 ]

@@ -14,6 +14,7 @@ bitwise-level tolerance in tests/test_optimizer.py.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -27,10 +28,25 @@ class FusedAdamState(NamedTuple):
     nu: dict
 
 
+def moments_dtype():
+    """Storage dtype for the Adam moments (SPATIALVAE_ADAM_MOMENTS).
+
+    'bf16' stores mu/nu in bfloat16 — the moment trees are the largest
+    optimizer-state traffic (2 reads + 2 writes of a parameter-sized
+    array per step), so halving their width targets the measured ~4.4 ms
+    HBM-floor Adam pass (BASELINE.md round-3 step anatomy).  Arithmetic
+    stays f32 (the EMAs are computed on upcast values and rounded once
+    on store), so the knob adds ~2^-8 relative storage noise per step —
+    a QUALITY lever gated by tools/int8_horizon.py like the int4 levers."""
+    return (jnp.bfloat16 if os.environ.get("SPATIALVAE_ADAM_MOMENTS")
+            == "bf16" else jnp.float32)
+
+
 def fused_adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
                eps: float = 1e-8) -> optax.GradientTransformation:
     def init_fn(params):
-        zeros = lambda p: jnp.zeros_like(p)
+        mdt = moments_dtype()
+        zeros = lambda p: jnp.zeros_like(p, dtype=mdt)
         return FusedAdamState(
             count=jnp.zeros([], jnp.int32),
             mu=jax.tree_util.tree_map(zeros, params),
@@ -46,12 +62,15 @@ def fused_adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
         def leaf(g, m, v):
             # accept mixed-precision grads directly: the upcast fuses into
             # this single elementwise pass instead of materialising an f32
-            # copy of the gradient tree
-            g = g.astype(m.dtype)
-            m = b1 * m + (1.0 - b1) * g
-            v = b2 * v + (1.0 - b2) * (g * g)
+            # copy of the gradient tree.  f32 moments take exactly the
+            # round-1 ops (bit-identical); bf16 moments upcast, compute in
+            # f32 and round once on store.
+            mdt = m.dtype
+            g = g.astype(jnp.float32)
+            m = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+            v = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
             update = -learning_rate * (m / c1) / (jnp.sqrt(v / c2) + eps)
-            return update, m, v
+            return update, m.astype(mdt), v.astype(mdt)
 
         flat_g, treedef = jax.tree_util.tree_flatten(grads)
         flat_m = treedef.flatten_up_to(state.mu)

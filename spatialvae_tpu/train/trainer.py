@@ -529,10 +529,11 @@ class Trainer:
 
     def _wants_yt(self, dataset) -> bool:
         """True iff the epoch scan's steps will take the fused int8
-        loss-kernel path (so a pre-transposed target copy pays off)."""
+        loss-kernel path (so a pre-transposed target copy pays off).
+        The pixel mask rides the kernel (round 4); CTF still falls back."""
         from spatialvae_tpu.objectives.elbo import fused_loss_active
 
-        if dataset.ctf is not None or self.mask is not None:
+        if dataset.ctf is not None:
             return False
         b = self.tcfg.minibatch_size
         if self._spmd:

@@ -219,7 +219,13 @@ def test_can_fuse_loss_int8_gating():
 
     good = SpatialGeneratorConfig(latent_dim=2, hidden_dim=500, num_layers=2)
     assert can_fuse_loss_int8(good, 4096, "bernoulli")
-    assert not can_fuse_loss_int8(good, 4096, "gaussian")
+    # gaussian (particles no-fit-noise) rides the kernel for the n_out=1
+    # head; fit-noise (n_out=2) and colored stay on the XLA path
+    assert can_fuse_loss_int8(good, 4096, "gaussian")
+    assert not can_fuse_loss_int8(
+        SpatialGeneratorConfig(latent_dim=2, hidden_dim=500, num_layers=2,
+                               n_out=2), 4096, "gaussian")
+    assert not can_fuse_loss_int8(good, 4096, "colored")
     assert not can_fuse_loss_int8(good, 784, "bernoulli")   # not tile-aligned
     assert not can_fuse_loss_int8(
         SpatialGeneratorConfig(latent_dim=2, num_layers=3), 4096, "bernoulli")
@@ -364,6 +370,80 @@ def test_fused_loss_int8_bound_gscale_close_to_tile(gmode, a1q, monkeypatch):
             assert float(a.ravel() @ r.ravel() / denom) > 0.9
 
 
+@pytest.mark.parametrize("family,masked,mode,gscale", [
+    # gaussian (particles no-fit-noise): ±mask, int8 and the shipping
+    # bound/i4dw1 stack
+    ("gaussian", False, "i8", "tile"),
+    ("gaussian", True, "i8", "tile"),
+    ("gaussian", True, "i4dw1", "bound"),
+    # bernoulli+mask (library extension — previously an XLA fallback)
+    ("bernoulli", True, "i8", "tile"),
+    ("bernoulli", True, "i4dw1", "bound"),
+])
+def test_fused_loss_families_close_to_f32(family, masked, mode, gscale,
+                                          monkeypatch):
+    """The gaussian family and the pixel mask must match the f32 folded
+    decode + XLA loss + autodiff within quantisation noise.  Bands follow
+    the bernoulli tests: tight for i8, loose toy-scale (H=32) for int4 —
+    the production gate is the ELBO-trajectory horizon."""
+    from spatialvae_tpu.kernels.fused_loss_int8 import fused_bce_spatial_int8
+
+    monkeypatch.setenv("SPATIALVAE_INT4_GRADS", mode)
+    monkeypatch.setenv("SPATIALVAE_GSCALE", gscale)
+    monkeypatch.setenv("SPATIALVAE_PIPE_IMGS", "2")
+    n_out = 1 if family == "gaussian" else 2
+    cfg = SpatialGeneratorConfig(latent_dim=4, hidden_dim=32, n_out=n_out,
+                                 num_layers=2)
+    params = spatial_generator_init(jax.random.PRNGKey(0), cfg)
+    b, hw = 4, 1024
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    coords = jax.random.uniform(ks[0], (hw, 2), minval=-1, maxval=1)
+    theta = jax.random.normal(ks[1], (b,)) * 0.5
+    dx = jax.random.normal(ks[2], (b, 2)) * 0.1
+    z = jax.random.normal(ks[3], (b, 4))
+    y = jax.random.uniform(ks[4], (b, hw, n_out))
+    mask = (jax.random.bernoulli(ks[5], 0.7, (hw,)).astype(jnp.float32)
+            if masked else None)
+
+    def loss_ref(p, th, d, zz):
+        yh = spatial_generator_apply_folded(p, cfg, coords, th, d, zz)
+        if family == "gaussian":
+            per = (yh - y) ** 2
+            if mask is not None:
+                per = per * mask[None, :, None]
+            return 0.5 * jnp.sum(per)
+        log_y = jnp.clip(jnp.log(yh), -100.0, None)
+        log_1my = jnp.clip(jnp.log1p(-yh), -100.0, None)
+        per = -(y * log_y + (1.0 - y) * log_1my)
+        if mask is not None:
+            per = per * mask[None, :, None]
+        return jnp.sum(per)
+
+    def loss_fused(p, th, d, zz):
+        return fused_bce_spatial_int8(p, cfg, coords, th, d, zz, y,
+                                      mask=mask, family=family,
+                                      interpret=True)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(
+        params, theta, dx, z)
+    v_f, g_f = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3))(
+        params, theta, dx, z)
+
+    val_band = 1e-3 if mode == "i8" else 5e-3
+    rel_band = 5e-2 if mode == "i8" else 0.6
+    cos_band = 0.995 if mode == "i8" else 0.9
+    assert abs(float(v_f - v_ref) / float(v_ref)) < val_band
+    for a, r in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_ref)):
+        a = np.asarray(a)
+        r = np.asarray(r)
+        rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-12)
+        assert rel < rel_band, rel
+        denom = np.linalg.norm(a.ravel()) * np.linalg.norm(r.ravel())
+        if denom > 1e-8:
+            assert float(a.ravel() @ r.ravel() / denom) > cos_band
+
+
 @pytest.mark.skipif(
     os.environ.get("SPATIALVAE_TEST_T_KERNEL") != "1",
     reason="fused_loss_int8_t is a kept-for-future-Mosaic negative "
@@ -465,3 +545,48 @@ def test_elbo_fused_loss_path_matches_plain_int8_off():
                                         int8=True),
                              coords, y, None, noise=noise, want_y_hat=True)
     assert e_y[3] is not None and e_y[3].shape == (4, n * m, 1)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_elbo_fused_loss_gaussian_matches_plain(masked):
+    """The gaussian (particles) fused-loss path returns the same scalars
+    as the XLA path within quantisation noise — with and without the
+    circular pixel mask (train_particles.py:126-139)."""
+    from spatialvae_tpu.core.config import InferenceConfig
+    from spatialvae_tpu.models import inference_init
+    from spatialvae_tpu.objectives import ElboConfig, elbo_minibatch
+
+    n = m = 32                                   # HW=1024: fused-loss eligible
+    cfg = SpatialGeneratorConfig(latent_dim=3, hidden_dim=32, n_out=1,
+                                 num_layers=2)
+    q_cfg = InferenceConfig(n=n * m, latent_dim=6, hidden_dim=16,
+                            num_layers=2)
+    kq, kp = jax.random.split(jax.random.PRNGKey(2))
+    qp = inference_init(kq, q_cfg)
+    pp = spatial_generator_init(kp, cfg)
+    coords = jnp.asarray(coord_grid(n, m))
+    y = jax.random.uniform(jax.random.PRNGKey(3), (4, n * m))
+    noise = jax.random.normal(jax.random.PRNGKey(4), (4, 6))
+    mask = None
+    if masked:
+        r2 = jnp.sum(coords ** 2, axis=1)
+        mask = (r2 <= 1.0).astype(jnp.float32)
+
+    base = dict(theta_prior=np.pi, likelihood="gaussian")
+    e_plain = elbo_minibatch(qp, pp, q_cfg, cfg, ElboConfig(**base),
+                             coords, y, None, noise=noise, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        e_fused = elbo_minibatch(qp, pp, q_cfg, cfg,
+                                 ElboConfig(fused=True, int8=True, **base),
+                                 coords, y, None, noise=noise, mask=mask)
+    assert e_fused[3] is None                    # scalars-only fast path
+    # the default stack runs the forward GEMM in int4 (i4dw1); the squared
+    # loss roughly doubles the relative forward noise vs BCE at this toy
+    # scale (H=32, measured ~0.26%) — production gate is the 30-epoch
+    # horizon (tools/int8_horizon.py likelihood=gaussian)
+    np.testing.assert_allclose(float(e_fused[0]), float(e_plain[0]),
+                               rtol=1e-2)
+    np.testing.assert_allclose(float(e_fused[1]), float(e_plain[1]),
+                               rtol=1e-2)
+    np.testing.assert_allclose(float(e_fused[2]), float(e_plain[2]),
+                               rtol=1e-5)

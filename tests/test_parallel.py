@@ -232,3 +232,67 @@ def test_wide_model_axis_matches_single_chip(mesh_cfg):
         set_activation_sharding(None)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m8), rtol=1e-4,
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("family,masked", [
+    ("bernoulli", False),
+    ("gaussian", True),
+])
+def test_pixel_sharded_fused_loss_matches_single_device(family, masked,
+                                                        monkeypatch):
+    """SURVEY §5.7: the fused loss kernel sharded over the PIXEL axis
+    (shard_map + psum of the per-shard partials) must match the
+    single-device kernel in value AND gradients — the kernel's outputs are
+    all sums over pixel tiles, so only float reassociation may differ."""
+    monkeypatch.setenv("SPATIALVAE_INTERPRET", "1")
+
+    from spatialvae_tpu.core.config import SpatialGeneratorConfig
+    from spatialvae_tpu.kernels.fused_loss_int8 import fused_bce_spatial_int8
+    from spatialvae_tpu.models import spatial_generator_init
+    from spatialvae_tpu.parallel import (
+        can_pixel_shard,
+        make_pixel_sharded_loss,
+    )
+
+    n_dev = 8
+    hw = 1024 * n_dev                       # 1024 pixels per shard
+    assert can_pixel_shard(hw, n_dev)
+    assert not can_pixel_shard(hw + 4, n_dev)       # non-divisible
+    assert not can_pixel_shard(1024, n_dev)         # shard below kernel floor
+
+    n_out = 1 if family == "gaussian" else 2
+    cfg = SpatialGeneratorConfig(latent_dim=4, hidden_dim=16, n_out=n_out,
+                                 num_layers=2)
+    params = spatial_generator_init(jax.random.PRNGKey(0), cfg)
+    b = 2
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    coords = jax.random.uniform(ks[0], (hw, 2), minval=-1, maxval=1)
+    theta = jax.random.normal(ks[1], (b,)) * 0.5
+    dx = jax.random.normal(ks[2], (b, 2)) * 0.1
+    z = jax.random.normal(ks[3], (b, 4))
+    y = jax.random.uniform(ks[4], (b, hw, n_out))
+    y_t = y.swapaxes(1, 2)
+    mask = (jax.random.bernoulli(ks[5], 0.7, (hw,)).astype(jnp.float32)
+            if masked else None)
+
+    mesh = create_mesh(MeshConfig(data=1, model=n_dev))
+    sharded = make_pixel_sharded_loss(cfg, mesh, family=family)
+
+    def loss_sharded(p, th, d, zz):
+        return sharded(p, coords, th, d, zz, y_t, mask)
+
+    def loss_single(p, th, d, zz):
+        return fused_bce_spatial_int8(p, cfg, coords, th, d, zz, y,
+                                      y_t=y_t, mask=mask, family=family,
+                                      interpret=True)
+
+    v_s, g_s = jax.jit(jax.value_and_grad(
+        loss_sharded, argnums=(0, 1, 2, 3)))(params, theta, dx, z)
+    v_1, g_1 = jax.value_and_grad(loss_single, argnums=(0, 1, 2, 3))(
+        params, theta, dx, z)
+
+    np.testing.assert_allclose(float(v_s), float(v_1), rtol=1e-5)
+    for a, r in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)

@@ -72,7 +72,8 @@ def make_galaxy_proxy(n_images, n, m, channels, seed=3):
     return imgs
 
 
-def run(epochs: int, batch: int, steps: int, int8: bool, data: str = "fields"):
+def run(epochs: int, batch: int, steps: int, int8: bool, data: str = "fields",
+        likelihood: str = "bernoulli", masked: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -86,19 +87,26 @@ def run(epochs: int, batch: int, steps: int, int8: bool, data: str = "fields"):
     from spatialvae_tpu.transforms.coords import coord_grid
 
     n = m = 64
-    channels = 3
+    # gaussian = the particles workload: grayscale, optional circular mask
+    channels = 1 if likelihood == "gaussian" else 3
     z_dim = 20
     q_cfg = InferenceConfig(n=n * m * channels, latent_dim=z_dim + 3,
                             hidden_dim=5000, num_layers=2)
     p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=500,
                                    n_out=channels, num_layers=2)
     ecfg = ElboConfig(rotate=True, translate=True, theta_prior=np.pi,
-                      likelihood="bernoulli", channels=channels, fused=True,
+                      likelihood=likelihood, channels=channels, fused=True,
                       int8=int8)
     tcfg = TrainConfig(minibatch_size=batch, learning_rate=1e-4,
                        num_epochs=epochs, seed=0, compute_dtype="bfloat16",
                        image_shape=(n, m), channels=channels)
-    trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m))
+    grid = coord_grid(n, m)
+    mask = None
+    if masked:
+        # the particles circular mask (train_particles.py:298-301 semantics)
+        mask = (np.sum(np.asarray(grid) ** 2, axis=1)
+                <= 1.0).astype(np.float32)
+    trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, grid, mask=mask)
 
     n_images = batch * steps
     if data == "galaxy":
@@ -147,6 +155,9 @@ def _train(trainer, ds, epochs, int8):
 def main():
     epochs, batch, steps = 30, 1024, 8
     data = "fields"
+    likelihood = "bernoulli"
+    masked = False
+    moments = None
     for a in sys.argv[1:]:
         k, v = a.split("=")
         if k == "epochs":
@@ -157,18 +168,33 @@ def main():
             steps = int(v)
         elif k == "data":
             data = v
+        elif k == "likelihood":
+            likelihood = v
+        elif k == "mask":
+            masked = v == "1"
+        elif k == "moments":
+            # bf16 Adam-moment storage applied to the INT8 ARM ONLY, so
+            # the gap below gates the full quality-lever stack against the
+            # untouched bf16 parity arm (SPATIALVAE_ADAM_MOMENTS)
+            moments = v
 
     from spatialvae_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    bf16 = run(epochs, batch, steps, int8=False, data=data)
-    i8 = run(epochs, batch, steps, int8=True, data=data)
+    os.environ.pop("SPATIALVAE_ADAM_MOMENTS", None)
+    bf16 = run(epochs, batch, steps, int8=False, data=data,
+               likelihood=likelihood, masked=masked)
+    if moments:
+        os.environ["SPATIALVAE_ADAM_MOMENTS"] = moments
+    i8 = run(epochs, batch, steps, int8=True, data=data,
+             likelihood=likelihood, masked=masked)
     rel = [abs((a - b) / b) for a, b in zip(i8, bf16)]
     for e, (b, a, r) in enumerate(zip(bf16, i8, rel)):
         print(f"epoch {e + 1:3d}  bf16={b:.4f}  int8={a:.4f}  rel={r:.2e}")
     print(json.dumps({
         "epochs": epochs, "batch": batch, "steps_per_epoch": steps,
-        "data": data,
+        "data": data, "likelihood": likelihood, "mask": masked,
+        "moments": moments,
         "max_rel_gap": max(rel), "final_rel_gap": rel[-1],
         "inside_1pct": max(rel) < 0.01,
     }))
