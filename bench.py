@@ -22,7 +22,8 @@ import numpy as np
 
 
 def run_bench(batch: int, fused: bool, epochs: int = 3,
-              steps_per_epoch: int = 16, int8: bool = False) -> float:
+              steps_per_epoch: int = 16, int8: bool = False,
+              config: str = "galaxy") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +37,10 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
     from spatialvae_tpu.transforms.coords import coord_grid
 
     n = m = 64
-    channels = 3
+    # 'particles' = the cryo-EM workload (BASELINE.json configs #3/#4
+    # minus CTF): grayscale, gaussian likelihood, circular pixel mask —
+    # rides the gaussian-family fused kernel since round 4
+    channels = 1 if config == "particles" else 3
     z_dim = 20
     n_images = batch * steps_per_epoch
 
@@ -46,22 +50,33 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
     p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=500,
                                    n_out=channels, num_layers=2)
     ecfg = ElboConfig(rotate=True, translate=True, theta_prior=np.pi,
-                      likelihood="bernoulli", channels=channels, fused=fused,
-                      int8=int8)
+                      likelihood=("gaussian" if config == "particles"
+                                  else "bernoulli"),
+                      channels=channels, fused=fused, int8=int8)
     tcfg = TrainConfig(minibatch_size=batch, learning_rate=1e-4,
                        num_epochs=3, seed=0, compute_dtype="bfloat16",
                        image_shape=(n, m), channels=channels)
-    trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m))
+    grid = coord_grid(n, m)
+    mask = None
+    if config == "particles":
+        mask = (np.sum(np.asarray(grid) ** 2, axis=1)
+                <= 1.0).astype(np.float32)
+    trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, grid, mask=mask)
 
     key = jax.random.PRNGKey(0)
-    # int8 mode stores the dataset in the compute dtype: on the full int8
-    # path the image gather is dead code (y_t carries the targets, y_q8
-    # the encoder input — elbo.py/inference.py), so an f32 copy only
-    # burns HBM capacity.  It was the B=8192 OOM (commit 874ad9f):
-    # f32+bf16+int8 copies at N=131072 exceed 16 GB; bf16+bf16+int8 fit.
-    # The bf16 parity path keeps f32 ingest (its gathers are live).
     y = jax.random.uniform(key, (n_images, n * m, channels),
-                           dtype=jnp.bfloat16 if int8 else jnp.float32)
+                           dtype=jnp.float32)
+    if int8 and config == "galaxy":
+        # real galaxy/mnist data is PNG-decoded uint8 / 255
+        # (train_galaxy.py:386-387) — generate on the same /255 grid so
+        # the trainer's int8-target detection engages (trainer._dataset_yt
+        # stores y_t as exact int8, HALF the per-step gather bytes of
+        # bf16).  On the full int8 path the f32 image gather itself is
+        # dead code (y_t + y_q8 carry everything); the f32 copy only
+        # costs HBM capacity — at N=131072 (B=8192) f32+int8+int8 ≈
+        # 9.6 GB, inside the 16 GB that the old f32+bf16+bf16 trio blew
+        # (commit 874ad9f).
+        y = jnp.round(y * 255.0) / 255.0
     dataset = ArrayDataset(y)
 
     # warmup/compile with the SAME static epoch count the timed run uses
@@ -89,6 +104,8 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
 
 
 def main():
+    import os
+
     import jax
 
     from spatialvae_tpu.core.cache import enable_compilation_cache
@@ -104,6 +121,7 @@ def main():
     # --no-int8 falls back to the parity-exact bf16 fused path
     int8 = fused
     steps = 16
+    config = "galaxy"
     for a in sys.argv[1:]:
         if a == "--no-fused":
             fused = False
@@ -116,18 +134,30 @@ def main():
             int8 = False
         elif a.startswith("steps="):
             steps = int(a.split("=", 1)[1])
+        elif a.startswith("config="):
+            config = a.split("=", 1)[1]
         else:
             batch = int(a)
 
     if compare:
-        xla = run_bench(batch, fused=False, steps_per_epoch=steps)
+        xla = run_bench(batch, fused=False, steps_per_epoch=steps,
+                        config=config)
         print(f"# XLA path: {xla:.0f} img/s", file=sys.stderr)
+    if int8:
+        # bf16 Adam-moment storage (f32 arithmetic): +0.65% at B=4096,
+        # horizon-gated with the rest of the int8 quality levers (max gap
+        # 0.135%/final 0.036% — identical to the f32-moment stack); the
+        # bf16 parity path keeps f32 moments (set AFTER the --compare arm
+        # so the XLA/bf16 reference run stays untouched)
+        os.environ.setdefault("SPATIALVAE_ADAM_MOMENTS", "bf16")
     images_per_sec = run_bench(batch, fused=fused, int8=int8,
-                               steps_per_epoch=steps)
+                               steps_per_epoch=steps, config=config)
 
     mode = "int8" if int8 else "bf16"
+    name = ("particles 64px z=20 gaussian+mask"
+            if config == "particles" else "galaxy_zoo 64px z=20")
     result = {
-        "metric": f"train images/sec/chip (galaxy_zoo 64px z=20, {mode})",
+        "metric": f"train images/sec/chip ({name}, {mode})",
         "value": round(images_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / 50_000.0, 4),

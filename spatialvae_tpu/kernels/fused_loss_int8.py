@@ -305,7 +305,16 @@ class _Phases:
 
     def p3_bce(self):                                        # VPU (tiny)
         sig = jax.nn.sigmoid(self.z2)
-        yt = self.yt_ref[self.r].astype(jnp.float32)         # (No, Pt)
+        yt_raw = self.yt_ref[self.r]                         # (No, Pt)
+        if yt_raw.dtype == jnp.int8:
+            # /255-grid targets stored int8 (value k/255 as k-128): half
+            # the gather/DMA bytes of bf16 AND exact — bf16 targets round
+            # the k/255 grid to 2^-9 (trainer._dataset_yt detects the
+            # grid; real galaxy/mnist data is uint8-quantized upstream,
+            # train_galaxy.py:386-387)
+            yt = (yt_raw.astype(jnp.float32) + 128.0) * (1.0 / 255.0)
+        else:
+            yt = yt_raw.astype(jnp.float32)
         m = (None if self.mask_ref is None
              else self.mask_ref[0:1, :].astype(jnp.float32))  # (1, Pt)
         if self.family == "gaussian":

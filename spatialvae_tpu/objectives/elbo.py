@@ -180,7 +180,10 @@ def elbo_minibatch(
             and fused_loss_active(ecfg, p_cfg, coords.shape[0], b)):
         import os
         if (os.environ.get("SPATIALVAE_LOSS_LAYOUT", "row") == "t"
-                and ecfg.likelihood == "bernoulli" and mask is None):
+                and ecfg.likelihood == "bernoulli" and mask is None
+                and (y_t is None or y_t.dtype != jnp.int8)):
+            # (the _t experiment predates int8 /255-grid targets and the
+            # gaussian/mask families — those configs take the row kernel)
             # feature-major experiment (kernels/fused_loss_int8_t.py): its
             # int4-legal gradient GEMMs save ~10 ms of MXU floor but the
             # layout costs ~16 ms of VPU relayouts — measured SLOWER than

@@ -424,7 +424,9 @@ class Trainer:
                 sk = jax.random.fold_in(base_key, 2 * e)
                 stk = jax.random.fold_in(base_key, 2 * e + 1)
                 perm = jax.random.permutation(sk, n_images)
-                idx = perm[:num_full * b].reshape(num_full, b)
+                # sort within each batch (see _index_batches)
+                idx = jnp.sort(perm[:num_full * b].reshape(num_full, b),
+                               axis=1)
                 zs = jnp.where(e < z_delay, 0.0, 1.0).astype(jnp.float32)
                 st, m = train_epoch_scan(st, data, data_t, ctf_data,
                                          data_q8, idx, stk, zs)
@@ -465,7 +467,13 @@ class Trainer:
         num_full = n // b
         tail = n - num_full * b
         idx = perm if perm is not None else jnp.arange(n)
-        full_idx = idx[:num_full * b].reshape(num_full, b)
+        # sort WITHIN each batch: shuffle semantics only need a random
+        # PARTITION into batches (the loss/grads are sums over the batch),
+        # and ascending row indices turn the per-step dataset gathers from
+        # random-access into semi-sequential HBM reads.  Deterministic, so
+        # bit-identical across runs/resume; train_epochs applies the same
+        # sort in-graph.
+        full_idx = jnp.sort(idx[:num_full * b].reshape(num_full, b), axis=1)
         tail_idx = idx[num_full * b:] if tail else None
         return full_idx, tail_idx, num_full, tail
 
@@ -481,15 +489,19 @@ class Trainer:
         cache[key] = value
 
     def _dataset_yt(self, dataset):
-        """(N, C, HW) compute-dtype copy of dataset.y for the fused int8
-        loss kernel, built once per dataset and cached (the kernel wants
+        """(N, C, HW) target copy of dataset.y for the fused int8 loss
+        kernel, built once per dataset and cached (the kernel wants
         channel-major target tiles; transposing per step costs ~8 ms at
         B=2048 — gathering from a pre-transposed copy costs ~0.1 ms).
 
-        Note: in bfloat16 compute the copy is bf16, so BCE values and dz2
-        gradients on the fused path (train AND eval metrics) carry ~2^-9
-        relative target rounding vs f32 targets — validated acceptable by
-        the 30-epoch int8-vs-bf16 horizon (tools/int8_horizon.py)."""
+        Layout: when the data sits exactly on the /255 uint8 grid (the
+        real galaxy/mnist pipelines decode PNGs and divide by 255,
+        train_galaxy.py:386-387), the copy is INT8 (k/255 stored as
+        k-128; the kernel dequants in p3) — half the per-step gather
+        bytes of bf16 AND exact, where the bf16 copy rounds the grid to
+        ~2^-9.  Off-grid data (whitened particles, synthetic floats)
+        keeps the compute-dtype copy; that bf16 target rounding is
+        validated by the 30-epoch horizons (tools/int8_horizon.py)."""
         y = dataset.y
         cache = getattr(self, "_yt_cache", None)
         if cache is None:
@@ -499,8 +511,30 @@ class Trainer:
             return hit[1]
         n = y.shape[0]
         hw = self.coords.shape[0]
-        yt = jnp.asarray(y).reshape(n, hw, -1).swapaxes(1, 2) \
-            .astype(self._compute_dtype)
+        src = jnp.asarray(y)
+
+        # two fused single-output passes keep the HBM peak at one
+        # dataset-sized transient (the naive probe materialised three f32
+        # copies of a 3.2 GB dataset and OOM'd the bench at B=4096)
+        @jax.jit
+        def probe(a):
+            scaled = a.astype(jnp.float32) * 255.0
+            q = jnp.round(scaled)
+            return (jnp.max(jnp.abs(scaled - q)), jnp.min(q), jnp.max(q))
+
+        err, qmin, qmax = (float(v) for v in probe(src))
+        on_grid = err < 1e-3 and qmin >= 0.0 and qmax <= 255.0
+
+        if on_grid:
+            @jax.jit
+            def build_i8(a):
+                q = jnp.round(a.astype(jnp.float32) * 255.0) - 128.0
+                return q.astype(jnp.int8).reshape(n, hw, -1).swapaxes(1, 2)
+
+            yt = build_i8(src)
+        else:
+            yt = (src.reshape(n, hw, -1).swapaxes(1, 2)
+                  .astype(self._compute_dtype))
         # key by id, keep the source array alive in the value so the id
         # cannot be recycled while the entry exists
         self._cache_put(cache, id(y), (y, yt))

@@ -444,6 +444,77 @@ def test_fused_loss_families_close_to_f32(family, masked, mode, gscale,
             assert float(a.ravel() @ r.ravel() / denom) > cos_band
 
 
+def test_fused_loss_int8_grid_targets_match_float(monkeypatch):
+    """Targets on the /255 uint8 grid stored INT8 (k-128, dequanted in
+    p3) must reproduce the float-target kernel loss/grads — the int8
+    representation is exact, so only f32 dequant rounding (1 ulp of
+    k*(1/255)) separates the two."""
+    from spatialvae_tpu.kernels.fused_loss_int8 import fused_bce_spatial_int8
+
+    monkeypatch.setenv("SPATIALVAE_INT4_GRADS", "i8")
+    monkeypatch.setenv("SPATIALVAE_GSCALE", "tile")
+    monkeypatch.setenv("SPATIALVAE_PIPE_IMGS", "2")
+    cfg = SpatialGeneratorConfig(latent_dim=4, hidden_dim=32, n_out=2,
+                                 num_layers=2)
+    params = spatial_generator_init(jax.random.PRNGKey(0), cfg)
+    b, hw = 4, 1024
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    coords = jax.random.uniform(ks[0], (hw, 2), minval=-1, maxval=1)
+    theta = jax.random.normal(ks[1], (b,)) * 0.5
+    dx = jax.random.normal(ks[2], (b, 2)) * 0.1
+    z = jax.random.normal(ks[3], (b, 4))
+    q = jnp.round(jax.random.uniform(ks[4], (b, hw, 2)) * 255.0)
+    y = (q / 255.0).astype(jnp.float32)
+    yt_i8 = (q.swapaxes(1, 2) - 128.0).astype(jnp.int8)
+
+    def loss(p, yt):
+        return fused_bce_spatial_int8(p, cfg, coords, theta, dx, z, y,
+                                      y_t=yt, interpret=True)
+
+    v_f, g_f = jax.value_and_grad(loss)(params, y.swapaxes(1, 2))
+    v_i, g_i = jax.value_and_grad(loss)(params, yt_i8)
+    np.testing.assert_allclose(float(v_i), float(v_f), rtol=1e-5)
+    # the dequant computes k*(1/255) where the float path stored k/255 —
+    # a 1-ulp target difference that can flip a round decision in the
+    # int8 gradient quantisation chain, so compare with a quantum-sized
+    # atol (observed max 4.5e-5 on 2/64 elements at toy scale)
+    for a, r in zip(jax.tree_util.tree_leaves(g_i),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-3, atol=2e-4)
+
+
+def test_dataset_yt_grid_detection():
+    """trainer._dataset_yt stores int8 targets for /255-grid data and the
+    compute-dtype copy for off-grid data."""
+    from spatialvae_tpu.core.config import InferenceConfig
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+
+    n = m = 32
+    cfg = SpatialGeneratorConfig(latent_dim=3, hidden_dim=32, n_out=1,
+                                 num_layers=2)
+    q_cfg = InferenceConfig(n=n * m, latent_dim=6, hidden_dim=16,
+                            num_layers=2)
+    ecfg = ElboConfig(theta_prior=np.pi, fused=True, int8=True)
+    tcfg = TrainConfig(minibatch_size=8, num_epochs=1, seed=0,
+                       compute_dtype="bfloat16", image_shape=(n, m))
+    tr = Trainer(q_cfg, cfg, ecfg, tcfg, coord_grid(n, m))
+
+    u = jax.random.uniform(jax.random.PRNGKey(0), (16, n * m))
+    grid = jnp.round(u * 255.0) / 255.0
+    yt = tr._dataset_yt(ArrayDataset(grid))
+    assert yt.dtype == jnp.int8
+    # dequant round-trips exactly to the grid
+    back = (yt.astype(jnp.float32) + 128.0) / 255.0
+    np.testing.assert_allclose(np.asarray(back[:, 0, :]),
+                               np.asarray(grid), rtol=0, atol=1e-7)
+
+    off = tr._dataset_yt(ArrayDataset(u))
+    assert off.dtype == jnp.bfloat16
+
+
 @pytest.mark.skipif(
     os.environ.get("SPATIALVAE_TEST_T_KERNEL") != "1",
     reason="fused_loss_int8_t is a kept-for-future-Mosaic negative "

@@ -87,39 +87,43 @@ def main():
     y0 = jnp.take(y, idx[0], axis=0, mode="clip")
     yt0 = jnp.take(data_t, idx[0], axis=0, mode="clip")
     yq0 = (jnp.take(data_q8[0], idx[0], axis=0, mode="clip"), data_q8[1])
+    sq8 = data_q8[1]
+
+    # dataset-sized arrays MUST be jit ARGUMENTS: closed-over jax.Arrays
+    # become compile-time constants and the compiler chokes embedding GBs
+    # into the HLO (a cold lesson — 48 min of compile before this fix)
 
     @jax.jit
-    def run_const(state, keys):
+    def run_const(state, keys, y0, yt0, yq0):
         def body(c, k):
             c, aux = step(c, y0, None, k, zs, yt0, yq0)
             return c, aux
         return lax.scan(body, state, keys)
 
     @jax.jit
-    def run_gather(state, keys, idx):
+    def run_gather(state, keys, idx, y, data_t, q8, sq8):
         def body(c, ki):
             k, ib = ki
             yb = jnp.take(y, ib, axis=0, mode="clip")
             ytb = jnp.take(data_t, ib, axis=0, mode="clip")
-            yqb = (jnp.take(data_q8[0], ib, axis=0, mode="clip"),
-                   data_q8[1])
+            yqb = (jnp.take(q8, ib, axis=0, mode="clip"), sq8)
             c, aux = step(c, yb, None, k, zs, ytb, yqb)
             return c, aux
         return lax.scan(body, state, (keys, idx))
 
     @jax.jit
-    def run_slice(state, keys, perm):
+    def run_slice(state, keys, perm, y, data_t, q8, sq8):
         # one pre-permute pass (between-epochs bytes), contiguous reads
         yp = jnp.take(y, perm, axis=0, mode="clip")
         ytp = jnp.take(data_t, perm, axis=0, mode="clip")
-        yqp = jnp.take(data_q8[0], perm, axis=0, mode="clip")
+        yqp = jnp.take(q8, perm, axis=0, mode="clip")
 
         def body(c, ki):
             k, i = ki
             s = i * batch
             yb = lax.dynamic_slice_in_dim(yp, s, batch)
             ytb = lax.dynamic_slice_in_dim(ytp, s, batch)
-            yqb = (lax.dynamic_slice_in_dim(yqp, s, batch), data_q8[1])
+            yqb = (lax.dynamic_slice_in_dim(yqp, s, batch), sq8)
             c, aux = step(c, yb, None, k, zs, ytb, yqb)
             return c, aux
         return lax.scan(body, state, (keys, jnp.arange(steps)))
@@ -140,9 +144,11 @@ def main():
               flush=True)
         return dt
 
-    timed("const", run_const, state, keys)
-    timed("gather", run_gather, state, keys, idx)
-    timed("slice", run_slice, state, keys, perm)
+    timed("const", run_const, state, keys, y0, yt0, yq0)
+    timed("gather", run_gather, state, keys, idx, y, data_t,
+          data_q8[0], sq8)
+    timed("slice", run_slice, state, keys, perm, y, data_t,
+          data_q8[0], sq8)
 
 
 if __name__ == "__main__":
