@@ -199,7 +199,7 @@ def run(args):
     coords = coord_grid(n, m)
 
     with device_context(args.device, args.matmul_precision,
-                        args.debug_nans):
+                        args.debug_nans, args.adam_moments):
         mesh = maybe_mesh(args)
         z_dim = args.z_dim
         print("# training with z-dim:", z_dim, file=sys.stderr)

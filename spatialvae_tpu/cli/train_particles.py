@@ -191,7 +191,7 @@ def run(args):
         print("# masking to size:", int(mask.sum()), file=sys.stderr)
 
     with device_context(args.device, args.matmul_precision,
-                        args.debug_nans):
+                        args.debug_nans, args.adam_moments):
         mesh = maybe_mesh(args)
         z_dim = args.z_dim
         print("# training with z-dim:", z_dim, file=sys.stderr)
