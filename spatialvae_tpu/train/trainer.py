@@ -606,8 +606,11 @@ class Trainer:
             perm_np = np.asarray(perm)
             rows = []
             for i in range(num_full):
-                idx = perm_np[i * tcfg.minibatch_size:
-                              (i + 1) * tcfg.minibatch_size]
+                # same within-batch sort as _index_batches, so streamed
+                # and preloaded runs share one trajectory (host-side it
+                # also makes the numpy fancy-index read sequential)
+                idx = np.sort(perm_np[i * tcfg.minibatch_size:
+                                      (i + 1) * tcfg.minibatch_size])
                 y = jnp.asarray(dataset.y[idx])
                 ctf = (None if dataset.ctf is None
                        else jnp.asarray(dataset.ctf[idx]))

@@ -217,3 +217,39 @@ def test_no_preload_streaming_matches_preloaded_shapes():
     assert np.isfinite(e0) and np.isfinite(e1)
     ev = t.eval_epoch(host, 0)
     assert np.isfinite(ev[0])
+
+
+def test_no_preload_streaming_feeds_same_sorted_batches():
+    """The streamed (--no-preload) path must feed the SAME within-batch-
+    sorted index batches as the preloaded scan (round 4's sorted gathers
+    apply to both), so the two paths stay semantically aligned.  Exact
+    metric equality is NOT asserted: the scan-inlined step and the
+    standalone jitted step fuse differently (measured ~1e-4 reassociation
+    noise per step on CPU)."""
+
+    class RecordingArray:
+        def __init__(self, a):
+            self.a = a
+            self.calls = []
+
+        def __getitem__(self, idx):
+            self.calls.append(np.asarray(idx))
+            return self.a[idx]
+
+        def __getattr__(self, name):
+            return getattr(self.a, name)
+
+    rng = np.random.RandomState(3)
+    data_np = rng.rand(32, 64).astype(np.float32)
+    t = _trainer(batch=16)
+    host = ArrayDataset.from_numpy(data_np, preload=False)
+    rec = RecordingArray(host.y)
+    host.y = rec
+    t.train_epoch(host, 0, progress=False)
+
+    perm = jax.random.permutation(jax.random.fold_in(t.base_key, 0), 32)
+    expected, _, num_full, _ = t._index_batches(32, perm)
+    assert len(rec.calls) == num_full
+    for got, want in zip(rec.calls, np.asarray(expected)):
+        assert (np.diff(got) >= 0).all()          # sorted ascending
+        np.testing.assert_array_equal(got, want)  # identical batches
