@@ -205,6 +205,23 @@ def maybe_resume(trainer, args) -> int:
     start_epoch = 0
     if getattr(args, "resume_optimizer", None):
         opt_state, epoch = load_optimizer(args.resume_optimizer)
+        # the checkpoint stores moments in whatever dtype the SAVING run
+        # used; honor THIS run's --adam-moments choice instead of silently
+        # inheriting (fused_adam adapts to m.dtype, so without this cast
+        # the flag would be a no-op on resume)
+        import jax.numpy as jnp
+
+        from spatialvae_tpu.train.optimizer import moments_dtype
+
+        mdt = moments_dtype()
+        old_dt = {leaf.dtype for leaf in jax.tree.leaves(opt_state.mu)}
+        if old_dt - {jnp.dtype(mdt)}:
+            print(f"# resumed Adam moments cast "
+                  f"{'/'.join(sorted(str(d) for d in old_dt))} -> "
+                  f"{jnp.dtype(mdt).name} (--adam-moments)")
+            cast = lambda t: jax.tree.map(lambda a: a.astype(mdt), t)
+            opt_state = opt_state._replace(mu=cast(opt_state.mu),
+                                           nu=cast(opt_state.nu))
         if trainer.mesh is not None:
             # Adam moments are params-shaped: place them leaf-for-leaf
             # like the params they belong to
@@ -224,18 +241,24 @@ def maybe_resume(trainer, args) -> int:
 
 
 def chunk_len(epoch: int, num_epochs: int, eval_interval: int,
-              save_interval=None) -> int:
+              save_interval=None, profile_epoch=None) -> int:
     """Epochs to train before the next eval point: capped by the run end
     AND by the next save-interval boundary, so --eval-interval N never
-    skips a checkpoint/image-dump epoch."""
+    skips a checkpoint/image-dump epoch.  When a --profile-dir trace is
+    pending (profile_epoch), epochs up to and including it run as
+    single-epoch dispatches so the trace captures exactly one warm epoch
+    — not the multi-epoch scan's compile plus the whole chunk."""
     chunk = max(1, min(eval_interval, num_epochs - epoch))
     if save_interval:
         chunk = min(chunk, save_interval - (epoch % save_interval))
+    if profile_epoch is not None and epoch <= profile_epoch:
+        chunk = 1
     return chunk
 
 
 def train_chunk(trainer, dataset, epoch: int, num_epochs: int,
-                eval_interval: int, save_interval=None):
+                eval_interval: int, save_interval=None,
+                profile_epoch=None):
     """Train up to the next eval point; returns
     [(epoch_index, (elbo, gen_loss, kl)), ...] for epochs
     [epoch, epoch + chunk).
@@ -244,7 +267,8 @@ def train_chunk(trainer, dataset, epoch: int, num_epochs: int,
     line, then the caller evals).  For N > 1 the chunk of epochs runs as
     ONE device dispatch via Trainer.train_epochs (multi-epoch in-graph
     scan — same trajectory bit-for-bit, no per-epoch host round-trip)."""
-    chunk = chunk_len(epoch, num_epochs, eval_interval, save_interval)
+    chunk = chunk_len(epoch, num_epochs, eval_interval, save_interval,
+                      profile_epoch)
     if chunk == 1:
         return [(epoch, trainer.train_epoch(dataset, epoch))]
     rows = trainer.train_epochs(dataset, epoch, chunk)
@@ -264,19 +288,28 @@ def device_context(device_flag: int, matmul_precision: str = "highest",
     jax.config.update("jax_default_matmul_precision", matmul_precision)
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
-    if adam_moments and adam_moments != "f32":
-        # read by train.optimizer.moments_dtype at optimizer-state init
-        os.environ["SPATIALVAE_ADAM_MOMENTS"] = adam_moments
-    if device_flag == -1:
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            yield cpu
-        return
-    devices = jax.devices()
-    idx = device_flag if device_flag >= 0 else 0
-    dev = devices[min(idx, len(devices) - 1)]
-    with jax.default_device(dev):
-        yield dev
+    # read by train.optimizer.moments_dtype at optimizer-state init.  Set
+    # unconditionally (f32 included) and restore on exit: a previous
+    # in-process run's bf16 setting must not leak into a run that asked
+    # for the default
+    prev_moments = os.environ.get("SPATIALVAE_ADAM_MOMENTS")
+    os.environ["SPATIALVAE_ADAM_MOMENTS"] = adam_moments or "f32"
+    try:
+        if device_flag == -1:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                yield cpu
+            return
+        devices = jax.devices()
+        idx = device_flag if device_flag >= 0 else 0
+        dev = devices[min(idx, len(devices) - 1)]
+        with jax.default_device(dev):
+            yield dev
+    finally:
+        if prev_moments is None:
+            os.environ.pop("SPATIALVAE_ADAM_MOMENTS", None)
+        else:
+            os.environ["SPATIALVAE_ADAM_MOMENTS"] = prev_moments
 
 
 def resolve_activation_name(cli_choice: str, trainer: str) -> str:

@@ -198,9 +198,12 @@ def run(args):
     from spatialvae_tpu.transforms.coords import coord_grid
     coords = coord_grid(n, m)
 
+    # multi-host join (maybe_mesh -> jax.distributed.initialize) must
+    # happen BEFORE the first backend-initializing JAX call, which
+    # device_context's jax.devices() would otherwise be
+    mesh = maybe_mesh(args)
     with device_context(args.device, args.matmul_precision,
                         args.debug_nans, args.adam_moments):
-        mesh = maybe_mesh(args)
         z_dim = args.z_dim
         print("# training with z-dim:", z_dim, file=sys.stderr)
 
@@ -278,13 +281,18 @@ def run(args):
         eval_interval = max(1, getattr(args, "eval_interval", 1))
         epoch = start_epoch
         while epoch < num_epochs:
+            # profile_epoch keeps epochs 0 and 1 single-epoch dispatches
+            # so the trace is exactly one warm epoch (not the multi-epoch
+            # scan compile + the whole chunk)
+            profile_epoch = 1 if prof_dir is not None else None
             tracing = prof_dir is not None and epoch <= 1 < epoch + \
-                chunk_len(epoch, num_epochs, eval_interval, save_interval)
+                chunk_len(epoch, num_epochs, eval_interval, save_interval,
+                          profile_epoch)
             if tracing:
                 jax.profiler.start_trace(prof_dir)
             for e, tr in train_chunk(trainer, data_train, epoch,
                                      num_epochs, eval_interval,
-                                     save_interval):
+                                     save_interval, profile_epoch):
                 row = [e, *tr]
                 train_results.append(row)
                 line = "\t".join(map(str, row))

@@ -190,9 +190,12 @@ def run(args):
         mask = (dist < radius).ravel().astype(np.float32)
         print("# masking to size:", int(mask.sum()), file=sys.stderr)
 
+    # multi-host join (maybe_mesh -> jax.distributed.initialize) must
+    # happen BEFORE the first backend-initializing JAX call, which
+    # device_context's jax.devices() would otherwise be
+    mesh = maybe_mesh(args)
     with device_context(args.device, args.matmul_precision,
                         args.debug_nans, args.adam_moments):
-        mesh = maybe_mesh(args)
         z_dim = args.z_dim
         print("# training with z-dim:", z_dim, file=sys.stderr)
 
@@ -270,14 +273,17 @@ def run(args):
         eval_interval = max(1, getattr(args, "eval_interval", 1))
         epoch = start_epoch
         while epoch < num_epochs:
+            # single-epoch dispatches through the traced epoch (see
+            # cli.common.chunk_len)
+            profile_epoch = 1 if args.profile_dir is not None else None
             tracing = args.profile_dir is not None and epoch <= 1 < \
                 epoch + chunk_len(epoch, num_epochs, eval_interval,
-                                  args.save_interval)
+                                  args.save_interval, profile_epoch)
             if tracing:
                 jax.profiler.start_trace(args.profile_dir)
             for e, tr in train_chunk(trainer, data_train, epoch,
                                      num_epochs, eval_interval,
-                                     args.save_interval):
+                                     args.save_interval, profile_epoch):
                 print("\t".join([str(e + 1), "train", *map(str, tr)]),
                       flush=True)
                 epoch = e + 1

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import sys
 from dataclasses import dataclass
+from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -160,6 +161,19 @@ def _warn_nonfinite(m: np.ndarray, epoch_base: int,
     print(f"# WARNING: non-finite training metrics at epoch {epoch + 1}, "
           f"step {step + 1} — loss diverged (try --debug-nans to locate "
           f"the op)", file=sys.stderr)
+
+
+@partial(jax.jit, static_argnums=1)
+def _split_chain(key, num: int):
+    """The (num,) per-step subkeys the epoch scan's body derives via
+    ``k, sub = split(k)`` each iteration — ONE dispatch, so the host
+    streaming path can consume the identical key sequence."""
+    def body(k, _):
+        k, sub = jax.random.split(k)
+        return k, sub
+
+    _, subs = jax.lax.scan(body, key, None, length=num)
+    return subs
 
 
 class Trainer:
@@ -605,17 +619,22 @@ class Trainer:
             prev_aux = None
             perm_np = np.asarray(perm)
             rows = []
+            # derive per-step keys by the SAME split chain the preloaded
+            # scan's body uses (k, sub = split(k) each step), so streamed
+            # and preloaded runs share one trajectory — same batches AND
+            # same reparameterisation noise (residual differences are XLA
+            # fusion reassociation only)
+            step_keys = _split_chain(step_key, num_full) if num_full else None
             for i in range(num_full):
-                # same within-batch sort as _index_batches, so streamed
-                # and preloaded runs share one trajectory (host-side it
+                # same within-batch sort as _index_batches (host-side it
                 # also makes the numpy fancy-index read sequential)
                 idx = np.sort(perm_np[i * tcfg.minibatch_size:
                                       (i + 1) * tcfg.minibatch_size])
                 y = jnp.asarray(dataset.y[idx])
                 ctf = (None if dataset.ctf is None
                        else jnp.asarray(dataset.ctf[idx]))
-                k = jax.random.fold_in(step_key, i)
-                state, aux = self._train_step(state, y, ctf, k, z_scale)
+                state, aux = self._train_step(state, y, ctf, step_keys[i],
+                                              z_scale)
                 rows.append(aux)
                 if progress and prev_aux is not None:
                     live.update(tcfg.minibatch_size,

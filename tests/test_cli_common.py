@@ -97,3 +97,121 @@ print("MULTIHOST-OK")
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
     assert "MULTIHOST-OK" in out.stdout
+
+
+def test_multihost_flags_through_real_cli(tmp_path):
+    """The FULL CLI path with --coordinator must survive JAX's 'initialize
+    before any backend init' rule: maybe_mesh (which joins the cluster)
+    runs before device_context's jax.devices().  A direct maybe_multihost
+    call can't catch an ordering regression — only a real CLI run can.
+    Subprocess: jax.distributed state must not leak into this process."""
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    np.save(tmp_path / "gt.npy",
+            (rng.rand(32, 8, 8, 3) * 255).astype(np.uint8))
+    np.save(tmp_path / "gv.npy",
+            (rng.rand(16, 8, 8, 3) * 255).astype(np.uint8))
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from spatialvae_tpu.cli.train_galaxy import main
+main(["gt.npy", "gv.npy", "--num_epochs", "1", "--minibatch_size", "16",
+      "--p_hidden_dim", "8", "--q_hidden_dim", "8", "-z", "2",
+      "--coordinator", "localhost:29519", "--num-processes", "1",
+      "--process-id", "0"])
+print("CLI-MULTIHOST-OK")
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["SPATIALVAE_ASSUME_YES"] = "1"
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         cwd=tmp_path, capture_output=True, text=True,
+                         timeout=300)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "CLI-MULTIHOST-OK" in out.stdout
+    assert "# multi-host: process 0 of 1" in out.stdout
+
+
+def test_chunk_len_profile_epoch():
+    """--profile-dir forces single-epoch dispatches up to the traced
+    epoch so the trace captures one warm epoch, then chunking resumes."""
+    from spatialvae_tpu.cli.common import chunk_len
+
+    # eval_interval 4, profiling epoch 1: epochs 0 and 1 go alone
+    assert chunk_len(0, 10, 4, profile_epoch=1) == 1
+    assert chunk_len(1, 10, 4, profile_epoch=1) == 1
+    assert chunk_len(2, 10, 4, profile_epoch=1) == 4
+    # without profiling the chunk starts full-size immediately
+    assert chunk_len(0, 10, 4) == 4
+    # resume past the profile epoch: no capping
+    assert chunk_len(5, 10, 4, profile_epoch=1) == 4
+
+
+def test_device_context_restores_moments_env(monkeypatch):
+    """A bf16 --adam-moments run must not leak SPATIALVAE_ADAM_MOMENTS
+    into a later in-process run that asked for the f32 default."""
+    import os
+
+    from spatialvae_tpu.cli.common import device_context
+
+    monkeypatch.delenv("SPATIALVAE_ADAM_MOMENTS", raising=False)
+    with device_context(-1, adam_moments="bf16"):
+        assert os.environ["SPATIALVAE_ADAM_MOMENTS"] == "bf16"
+    assert "SPATIALVAE_ADAM_MOMENTS" not in os.environ
+    # an f32 run after a leaked setting overrides it for its duration
+    monkeypatch.setenv("SPATIALVAE_ADAM_MOMENTS", "bf16")
+    with device_context(-1, adam_moments="f32"):
+        assert os.environ["SPATIALVAE_ADAM_MOMENTS"] == "f32"
+    assert os.environ["SPATIALVAE_ADAM_MOMENTS"] == "bf16"
+
+
+def test_resume_honors_adam_moments(tmp_path, monkeypatch):
+    """--adam-moments must apply on --resume-optimizer too: fused_adam
+    adapts to the loaded m.dtype, so without the cast the flag would be a
+    silent no-op on resumed runs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spatialvae_tpu.cli.common import maybe_resume
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.train.checkpoint import save_model, save_optimizer
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = 8
+    q_cfg = InferenceConfig(n=n * n, latent_dim=5, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16,
+                                   num_layers=2)
+    ecfg = ElboConfig(likelihood="bernoulli", theta_prior=np.pi)
+    tcfg = TrainConfig(minibatch_size=16, num_epochs=2, seed=0,
+                       image_shape=(n, n))
+    monkeypatch.delenv("SPATIALVAE_ADAM_MOMENTS", raising=False)
+    t = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, n))
+    gen = str(tmp_path / "t_generator_epoch1.sav")
+    inf = str(tmp_path / "t_inference_epoch1.sav")
+    opt = str(tmp_path / "t_optimizer_epoch1.sav")
+    save_model(gen, "generator", t.state.params["p"], p_cfg)
+    save_model(inf, "inference", t.state.params["q"], q_cfg)
+    save_optimizer(opt, t.state.opt_state, epoch=0)
+
+    monkeypatch.setenv("SPATIALVAE_ADAM_MOMENTS", "bf16")
+    args = argparse.Namespace(resume_generator=gen, resume_inference=inf,
+                              resume_optimizer=opt)
+    maybe_resume(t, args)
+    import jax
+
+    for leaf in jax.tree.leaves(t.state.opt_state.mu):
+        assert leaf.dtype == jnp.bfloat16
+    for leaf in jax.tree.leaves(t.state.opt_state.nu):
+        assert leaf.dtype == jnp.bfloat16

@@ -219,6 +219,25 @@ def test_no_preload_streaming_matches_preloaded_shapes():
     assert np.isfinite(ev[0])
 
 
+def test_no_preload_streaming_matches_preloaded_trajectory():
+    """Streamed (--no-preload) and preloaded epochs now share batches AND
+    per-step keys (the streamed path replays the scan body's split
+    chain), so a full epoch's metrics and params agree to XLA fusion-
+    reassociation tolerance."""
+    rng = np.random.RandomState(3)
+    data_np = rng.rand(48, 64).astype(np.float32)
+    ts = _trainer(batch=16)
+    tp = _trainer(batch=16)
+    ms = ts.train_epoch(ArrayDataset.from_numpy(data_np, preload=False), 0,
+                        progress=False)
+    mp = tp.train_epoch(ArrayDataset(jnp.asarray(data_np)), 0,
+                        progress=False)
+    np.testing.assert_allclose(np.asarray(ms), np.asarray(mp), rtol=2e-3)
+    for a, b in zip(jax.tree.leaves(ts.state.params),
+                    jax.tree.leaves(tp.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_no_preload_streaming_feeds_same_sorted_batches():
     """The streamed (--no-preload) path must feed the SAME within-batch-
     sorted index batches as the preloaded scan (round 4's sorted gathers
