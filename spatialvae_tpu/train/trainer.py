@@ -407,6 +407,11 @@ class Trainer:
                 # mode='clip': batch indices come from a permutation and
                 # are in-bounds by construction; jnp.take's default 'fill'
                 # adds a per-batch select pass over every gathered tile
+                # (NEGATIVE probed round 4: optimization_barrier-fencing
+                # the gathers behind the previous step's metrics — so they
+                # cannot prefetch during the kernel — measured 94.9 vs
+                # 94.6 ms at B=4096; the in-epoch vs isolated kernel delta
+                # is profiler attribution of async gathers, not contention)
                 y = jnp.take(data, ib, axis=0, mode='clip')
                 y_t = (None if data_t is None
                        else jnp.take(data_t, ib, axis=0, mode='clip'))
