@@ -62,7 +62,12 @@ class SpatialVae:
              image_shape: Tuple[int, int] | None = None) -> "SpatialVae":
         """image_shape may be omitted when the checkpoint persisted it
         (checkpoints written from round 2 on carry the training semantics:
-        ELBO/pose config + image shape)."""
+        ELBO/pose config + image shape).
+
+        Also accepts checkpoints written by the REFERENCE (torch
+        whole-module .sav pickles, misc_tools.py:88-104) — the format is
+        auto-detected and converted (io/torch_import.py).  Those never
+        persisted the image shape, so pass image_shape explicitly."""
         p_params, p_cfg, kind, meta = load_model_meta(generator_path)
         assert kind == "generator", generator_path
         q_params, q_cfg, kind, _ = load_model_meta(inference_path)

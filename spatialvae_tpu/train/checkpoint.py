@@ -89,15 +89,47 @@ def load_model(path: str):
     return params, cfg, kind
 
 
+def _load_reference_sav(path: str):
+    """Fallback for checkpoints written by the REFERENCE (torch
+    whole-module pickles, misc_tools.py:88-104): convert the module to our
+    (params, config, kind) on the fly so the serving API and the trainers'
+    --resume-* flags accept a migrating user's .sav files directly.  The
+    reference never persisted the ELBO/pose semantics or image shape, so
+    meta comes back empty."""
+    from spatialvae_tpu.io.torch_import import import_module, \
+        load_torch_module
+
+    params, cfg, kind = import_module(load_torch_module(path))
+    return params, cfg, kind, {"elbo": None, "image_shape": None}
+
+
 def load_model_meta(path: str):
     """Returns (params, config, kind, meta).
 
     meta = {'elbo': ElboConfig | None, 'image_shape': (n, m) | None} —
-    the persisted training semantics (absent in pre-r2 checkpoints)."""
+    the persisted training semantics (absent in pre-r2 checkpoints).
+
+    Also accepts reference-written .sav files (torch module pickles),
+    detected by format: torch>=1.6 saves a zip archive, and any payload
+    our unpickler cannot read or recognise is retried through torch."""
     with open(path, "rb") as f:
-        payload = pickle.load(f)
-    if payload.get("format") != FORMAT:
-        raise ValueError(f"{path} is not a {FORMAT} checkpoint")
+        if f.read(4) == b"PK\x03\x04":           # torch zipfile container
+            return _load_reference_sav(path)
+        f.seek(0)
+        try:
+            payload = pickle.load(f)
+        except Exception:
+            payload = None     # legacy torch needs torch's own unpickler
+    if not isinstance(payload, dict) or payload.get("format") != FORMAT:
+        # pre-1.6 torch saves plain-unpickle to their magic-number int
+        # rather than raising — treat every unrecognised payload as a
+        # torch candidate before giving up
+        try:
+            return _load_reference_sav(path)
+        except Exception:
+            raise ValueError(
+                f"{path} is neither a {FORMAT} checkpoint nor a loadable "
+                "reference torch .sav") from None
     elbo = payload.get("elbo")
     meta = {
         "elbo": None if elbo is None else config_from_dict(elbo),
