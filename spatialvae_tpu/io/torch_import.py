@@ -11,6 +11,12 @@ trainers' ``--resume-*`` flags accept them directly (format auto-detected in
     p_params, p_cfg = import_generator("run_generator_epoch100.sav")
     q_params, q_cfg = import_inference("run_inference_epoch100.sav")
 
+The reverse direction is also covered for users with torch-based
+downstream analysis: ``export_generator`` / ``export_inference`` write
+our params back as reference-layout torch module pickles that
+``torch.load`` + forward anywhere the reference package is installed
+(``tools/export_torch_checkpoint.py`` converts saved checkpoints).
+
 Conversion rules (reference ``spatial_vae/models.py``):
 
 - torch ``nn.Linear`` stores (fan_out, fan_in); our trees store the
@@ -260,3 +266,137 @@ def load_reference_checkpoint(generator_path: str, inference_path: str):
     p_params, p_cfg = import_generator(generator_path)
     q_params, q_cfg = import_inference(inference_path)
     return {"q": q_params, "p": p_params}, q_cfg, p_cfg
+
+
+# ---------------------------------------------------------------------------
+# export: our (params, cfg) -> reference-compatible torch module pickles
+# ---------------------------------------------------------------------------
+#
+# The reverse migration: users keep torch-based downstream analysis that
+# ``torch.load``s the reference's .sav modules.  The exported pickle
+# references the ``spatial_vae.models`` class names, so it loads (and runs
+# forward) wherever the real reference package is installed; loading it
+# back HERE round-trips bit-exactly through the importer above.
+
+
+def _resolve_classes(torch) -> dict:
+    """The class objects to pickle against: the user's real reference
+    package when importable, our registered stand-ins otherwise (pickle
+    saves classes by reference and verifies identity with the module
+    attribute, so the two sources must never mix)."""
+    _ensure_reference_classes(torch)
+    import spatial_vae.models as m
+
+    return {name: getattr(m, name) for name in _REF_CLASSES}
+
+
+def _blank_module(cls, torch):
+    """Instance of ``cls`` with nn.Module plumbing but WITHOUT running the
+    reference ``__init__`` (it demands constructor args and prints)."""
+    obj = cls.__new__(cls)
+    torch.nn.Module.__init__(obj)
+    return obj
+
+
+def _torch_linear(p: dict, torch):
+    w = np.asarray(p["w"], dtype=np.float32)
+    lin = torch.nn.Linear(w.shape[0], w.shape[1], bias="b" in p)
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(np.ascontiguousarray(w.T)))
+        if "b" in p:
+            lin.bias.copy_(torch.from_numpy(
+                np.asarray(p["b"], dtype=np.float32)))
+    return lin
+
+
+def _torch_act(name: str, torch):
+    nn = torch.nn
+    return {"tanh": nn.Tanh, "leakyrelu": nn.LeakyReLU, "relu": nn.ReLU,
+            "sigmoid": nn.Sigmoid}[name]()
+
+
+def _torch_stack(layers, cfg, classes, torch, head_modules):
+    """Hidden [Linear/ResidLinear + act] stack + head Linear + trailing
+    modules, mirroring the reference Sequential layout exactly."""
+    mods = []
+    for p in layers[:-1]:
+        if cfg.resid:
+            r = _blank_module(classes["ResidLinear"], torch)
+            r.linear = _torch_linear(p, torch)
+            r.act = _torch_act(cfg.activation, torch)
+            mods.append(r)
+        else:
+            mods.extend([_torch_linear(p, torch),
+                         _torch_act(cfg.activation, torch)])
+    mods.append(_torch_linear(layers[-1], torch))
+    mods.extend(head_modules)
+    return torch.nn.Sequential(*mods)
+
+
+def build_generator_module(params, cfg):
+    """Our (params, SpatialGeneratorConfig | VanillaGeneratorConfig) ->
+    a torch module with the reference's exact attribute/layer layout."""
+    torch = _torch()
+    classes = _resolve_classes(torch)
+    if isinstance(cfg, VanillaGeneratorConfig):
+        net = _blank_module(classes["VanillaGenerator"], torch)
+        net.n_out = cfg.n_out
+        net.softplus = cfg.softplus
+        head = [torch.nn.Sigmoid()]
+        if cfg.softplus:
+            head.append(torch.nn.Softplus())      # models.py:156-157
+        # the first layer is always a plain Linear + act (models.py:146);
+        # only the later hidden layers take the resid form
+        layers = params["layers"]
+        stack = _torch_stack(layers[1:], cfg, classes, torch, head)
+        net.layers = torch.nn.Sequential(
+            _torch_linear(layers[0], torch),
+            _torch_act(cfg.activation, torch), *stack.children())
+        return net.eval()
+    net = _blank_module(classes["SpatialGenerator"], torch)
+    net.softplus = cfg.softplus
+    net.expand_coords = cfg.expand_coords
+    net.latent_dim = cfg.latent_dim
+    net.coord_linear = _torch_linear(params["coord"], torch)
+    if cfg.latent_dim > 0:
+        net.latent_linear = _torch_linear(params["latent"], torch)
+        if cfg.bilinear:
+            w = np.asarray(params["bilinear"]["w"], dtype=np.float32)
+            bl = torch.nn.Bilinear(w.shape[0], w.shape[1], w.shape[2],
+                                   bias=False)
+            with torch.no_grad():
+                bl.weight.copy_(torch.from_numpy(
+                    np.ascontiguousarray(w.transpose(2, 0, 1))))
+            net.bilinear = bl
+    # layers = [activation()] + hidden stack + head + Sigmoid
+    # (models.py:77-86) — handled as a 0-hidden _torch_stack plus the
+    # leading activation
+    stack = _torch_stack(params["layers"], cfg, classes, torch,
+                         [torch.nn.Sigmoid()])
+    net.layers = torch.nn.Sequential(_torch_act(cfg.activation, torch),
+                                     *stack.children())
+    return net.eval()
+
+
+def build_inference_module(params, cfg: InferenceConfig):
+    torch = _torch()
+    classes = _resolve_classes(torch)
+    net = _blank_module(classes["InferenceNetwork"], torch)
+    net.latent_dim = cfg.latent_dim
+    net.n = cfg.n
+    layers = params["layers"]
+    stack = _torch_stack(layers[1:], cfg, classes, torch, [])
+    net.layers = torch.nn.Sequential(
+        _torch_linear(layers[0], torch),
+        _torch_act(cfg.activation, torch), *stack.children())
+    return net.eval()
+
+
+def export_generator(params, cfg, path: str) -> None:
+    """Write a reference-format generator .sav (torch module pickle)."""
+    _torch().save(build_generator_module(params, cfg), path)
+
+
+def export_inference(params, cfg: InferenceConfig, path: str) -> None:
+    """Write a reference-format inference .sav (torch module pickle)."""
+    _torch().save(build_inference_module(params, cfg), path)

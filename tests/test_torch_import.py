@@ -8,6 +8,7 @@ matches the constructor arguments and (b) our apply reproduces the torch
 forward on random inputs.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -224,3 +225,161 @@ def test_api_loads_reference_checkpoints(tmp_path, ref_models):
     assert mu.shape == (2, z_dim + 3)
     rec = model.reconstruct(y, jax.random.PRNGKey(0))
     assert rec.shape[0] == 2 and np.isfinite(np.asarray(rec)).all()
+
+
+# ---------------------------------------------------------------------------
+# export: our params -> reference-format torch modules
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind,kwargs", [
+    ("spatial", dict(latent_dim=4, hidden_dim=10, n_out=2, num_layers=2,
+                     softplus=True)),
+    ("spatial", dict(latent_dim=3, hidden_dim=8, n_out=1, num_layers=3,
+                     resid=True, activation="leakyrelu")),
+    ("spatial", dict(latent_dim=3, hidden_dim=8, n_out=1, num_layers=1,
+                     bilinear=True)),
+    ("spatial", dict(latent_dim=0, hidden_dim=8, n_out=1, num_layers=1,
+                     expand_coords=True)),
+    ("vanilla", dict(n=20, latent_dim=3, hidden_dim=8, n_out=2,
+                     num_layers=2, softplus=True, resid=True)),
+    ("inference", dict(n=24, latent_dim=5, hidden_dim=12, num_layers=2,
+                       resid=True, activation="leakyrelu")),
+])
+def test_export_roundtrips_and_loads_with_real_classes(
+        tmp_path, ref_models, kind, kwargs):
+    """export -> import is bit-exact, and the exported pickle loads as the
+    REAL reference class and reproduces our forward."""
+    import jax
+
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+        VanillaGeneratorConfig,
+    )
+    from spatialvae_tpu.io import torch_import as ti
+    from spatialvae_tpu.models import (
+        inference_apply,
+        inference_init,
+        spatial_generator_apply,
+        spatial_generator_init,
+        vanilla_generator_apply,
+        vanilla_generator_init,
+    )
+
+    key = jax.random.PRNGKey(0)
+    path = str(tmp_path / "x.sav")
+    rng = np.random.default_rng(2)
+    if kind == "inference":
+        cfg = InferenceConfig(**kwargs)
+        params = inference_init(key, cfg)
+        ti.export_inference(params, cfg, path)
+        params2, cfg2 = ti.import_inference(path)
+        net = torch.load(path, map_location="cpu", weights_only=False)
+        assert type(net) is ref_models.InferenceNetwork
+        y = rng.uniform(0, 1, size=(3, cfg.n)).astype(np.float32)
+        with torch.no_grad():
+            mu_t, ls_t = net(torch.tensor(y))
+        mu, ls = inference_apply(params, cfg, y)
+        np.testing.assert_allclose(np.asarray(mu), mu_t.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ls), ls_t.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+    elif kind == "vanilla":
+        cfg = VanillaGeneratorConfig(**kwargs)
+        params = vanilla_generator_init(key, cfg)
+        ti.export_generator(params, cfg, path)
+        params2, cfg2 = ti.import_generator(path)
+        net = torch.load(path, map_location="cpu", weights_only=False)
+        assert type(net) is ref_models.VanillaGenerator
+        z = rng.standard_normal((3, cfg.latent_dim)).astype(np.float32)
+        with torch.no_grad():
+            want = net(None, torch.tensor(z)).numpy()
+        got = np.asarray(vanilla_generator_apply(params, cfg, None, z))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    else:
+        cfg = SpatialGeneratorConfig(**kwargs)
+        params = spatial_generator_init(key, cfg)
+        ti.export_generator(params, cfg, path)
+        params2, cfg2 = ti.import_generator(path)
+        net = torch.load(path, map_location="cpu", weights_only=False)
+        assert type(net) is ref_models.SpatialGenerator
+        x, z = _rand_inputs(rng, b=3, hw=7, latent=cfg.latent_dim)
+        with torch.no_grad():
+            want = net(torch.tensor(x),
+                       torch.tensor(z) if z is not None
+                       else torch.zeros(3, 0)).numpy()
+        got = np.asarray(spatial_generator_apply(params, cfg, x, z))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    assert cfg2 == cfg
+    for a, b in zip(jax_leaves(params), jax_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), b)
+
+
+def test_export_without_reference_package(tmp_path, ref_models):
+    """Exporting with only the stand-in classes registered produces a
+    pickle the REAL reference classes load and run."""
+    import jax
+
+    from spatialvae_tpu.core.config import SpatialGeneratorConfig
+    from spatialvae_tpu.io import torch_import as ti
+    from spatialvae_tpu.models import (
+        spatial_generator_apply,
+        spatial_generator_init,
+    )
+
+    cfg = SpatialGeneratorConfig(latent_dim=3, hidden_dim=8, num_layers=2)
+    params = spatial_generator_init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "g.sav")
+
+    saved = {k: sys.modules.get(k)
+             for k in ("spatial_vae", "spatial_vae.models")}
+    try:
+        for k in saved:
+            sys.modules.pop(k, None)
+        ti.export_generator(params, cfg, path)
+        assert type(sys.modules["spatial_vae.models"].SpatialGenerator) \
+            is type  # exported against the stand-ins
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    net = torch.load(path, map_location="cpu", weights_only=False)
+    assert type(net) is ref_models.SpatialGenerator
+    rng = np.random.default_rng(3)
+    x, z = _rand_inputs(rng, b=2, hw=5, latent=3)
+    with torch.no_grad():
+        want = net(torch.tensor(x), torch.tensor(z)).numpy()
+    got = np.asarray(spatial_generator_apply(params, cfg, x, z))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_tool(tmp_path, ref_models):
+    """tools/export_torch_checkpoint.py converts our checkpoint files."""
+    import subprocess
+
+    import jax
+
+    from spatialvae_tpu.core.config import SpatialGeneratorConfig
+    from spatialvae_tpu.models import spatial_generator_init
+    from spatialvae_tpu.train.checkpoint import save_model
+
+    cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=6)
+    params = spatial_generator_init(jax.random.PRNGKey(0), cfg)
+    src = str(tmp_path / "ours_generator_epoch001.sav")
+    dst = str(tmp_path / "torch_generator_epoch001.sav")
+    save_model(src, "generator", params, cfg)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/tools/export_torch_checkpoint.py",
+         src, dst], capture_output=True, text=True, env=env)
+    assert out.returncode == 0, out.stderr
+    net = torch.load(dst, map_location="cpu", weights_only=False)
+    assert type(net) is ref_models.SpatialGenerator
+
