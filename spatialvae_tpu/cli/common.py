@@ -130,7 +130,18 @@ def maybe_mesh(args):
     """Create a ('data', 'model') mesh when more than one device is visible
     (or --mesh-model asks for model parallelism); None on a single chip.
     Joins a multi-host run first when the multi-host flags are given."""
-    maybe_multihost(args)
+    multihost = maybe_multihost(args)
+    if not multihost and getattr(args, "device", 0) == -1:
+        # -d -1 = CPU run (reference device semantics): don't initialize
+        # the accelerator backend just to discover a mesh — a CPU run must
+        # work even when the TPU plugin/tunnel is unreachable (observed:
+        # jax.devices() here hung every -d -1 CLI run during a tunnel
+        # outage), and a CPU run never wants an accelerator mesh anyway
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass  # backends already up (in-process caller) — harmless
+        return None
     n = len(jax.devices())
     model = getattr(args, "mesh_model", 1) or 1
     if n <= 1:

@@ -153,6 +153,32 @@ def test_chunk_len_profile_epoch():
     assert chunk_len(5, 10, 4, profile_epoch=1) == 4
 
 
+def test_cpu_run_never_queries_accelerator_devices(monkeypatch):
+    """-d -1 (reference: CPU run) must not initialize the accelerator
+    backend just to discover a mesh — during a TPU-tunnel outage the
+    jax.devices() call in maybe_mesh hung every CPU CLI run.  maybe_mesh
+    must return None for device=-1 without any device query."""
+    import argparse
+
+    import jax
+
+    from spatialvae_tpu.cli.common import maybe_mesh
+
+    def boom():  # pragma: no cover - called only on regression
+        raise AssertionError("jax.devices() reached on a -d -1 run")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    args = argparse.Namespace(device=-1, mesh_model=1)
+    assert maybe_mesh(args) is None
+    # default device (-2) still discovers the mesh (and here, trips)
+    args = argparse.Namespace(device=-2, mesh_model=1)
+    try:
+        maybe_mesh(args)
+        raise SystemExit("expected the device query")
+    except AssertionError:
+        pass
+
+
 def test_device_context_restores_moments_env(monkeypatch):
     """A bf16 --adam-moments run must not leak SPATIALVAE_ADAM_MOMENTS
     into a later in-process run that asked for the f32 default."""
