@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Probe: does XLA (outside Pallas) lower int4 dot_general on this TPU,
+and at what rate, at the ENCODER's GEMM shapes?
+
+The fused decoder kernel already rides the int4 MXU (Mosaic lowers
+(1,0)/(1,1) int4 contractions at ~1.74x the int8 rate — tools/probe_int4.py).
+The encoder's big GEMMs (nn/qlinear.py) run at the XLA level instead:
+  W1 fwd : (B, N) x (N, H)   (1,0)      N=12288, H=5000
+  W2 fwd : (B, H) x (H, H)   (1,0)
+  dW     : (B, N)^T x (B, H) (0,0)      [Mosaic rejects (0,0) int4]
+  dx     : (B, H) x (H, H)^T (1,1)
+If XLA lowers int4 at ~2x int8 for these, the encoder MXU time (~2 ms of
+the 7.7 ms non-kernel residue at B=4096) halves.  Also probes whether int4
+HBM arrays are materializable at the XLA level (the Pallas runtime said
+UNIMPLEMENTED) — if not, operands must be stored int8 and cast in-graph,
+and the cast cost is part of the measurement.
+
+Usage: python tools/probe_xla_int4.py [b=4096] [n=12288] [h=5000] [iters=30]
+(tiny-shape CPU smoke: python tools/probe_xla_int4.py cpu=1 \
+ b=64 n=128 h=128 iters=2)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+N, H = 12288, 5000
+
+
+def scan_time(name, fn, args, iters, per_img=4096):
+    """Scan-amortized timing; the full output feeds a sum so neither XLA's
+    slice-through-dot simplifier nor DCE can narrow the GEMM.  Operands are
+    jit ARGUMENTS (closed-over jax.Arrays embed as compile-time constants —
+    see the round-4 48-min-compile gotcha)."""
+
+    def run_fn(*ops):
+        def body(carry, _):
+            out = fn(carry, *ops[1:])
+            bump = (jnp.sum(out.astype(jnp.float32)) * 0
+                    ).astype(carry.dtype)
+            return carry + bump, ()
+
+        return jax.lax.scan(body, ops[0], None, length=iters)[0]
+
+    run = jax.jit(run_fn)
+    try:
+        r = run(*args)
+        r.block_until_ready()
+    except Exception as e:  # noqa: BLE001 — probe tool, report and move on
+        print(f"{name:16s} FAILED: {type(e).__name__}: {str(e)[:240]}",
+              flush=True)
+        return None
+    t0 = time.perf_counter()
+    r = run(*args)
+    r.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:16s} {dt * 1e3:7.3f} ms/iter "
+          f"({per_img / dt:9.0f} img-equiv/s)", flush=True)
+    return dt
+
+
+def main():
+    global N, H
+    b = 4096
+    iters = 30
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        if k == "b":
+            b = int(v)
+        elif k == "n":
+            N = int(v)
+        elif k == "h":
+            H = int(v)
+        elif k == "iters":
+            iters = int(v)
+        elif k == "cpu" and v == "1":
+            # the axon plugin ignores JAX_PLATFORMS=cpu from the env;
+            # only the config API forces CPU (CLAUDE.md quirks)
+            jax.config.update("jax_platforms", "cpu")
+
+    from spatialvae_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    x8 = jnp.clip(jnp.round(jax.random.normal(ks[0], (b, N)) * 60),
+                  -127, 127).astype(jnp.int8)
+    w8 = jnp.clip(jnp.round(jax.random.normal(ks[1], (N, H)) * 60),
+                  -127, 127).astype(jnp.int8)
+    h8 = jnp.clip(jnp.round(jax.random.normal(ks[2], (b, H)) * 60),
+                  -127, 127).astype(jnp.int8)
+    v8 = jnp.clip(jnp.round(jax.random.normal(ks[3], (H, H)) * 60),
+                  -127, 127).astype(jnp.int8)
+    # 4-bit-valued int8 carriers (casting is then value-exact)
+    x4 = jnp.clip(jnp.round(jax.random.normal(ks[0], (b, N)) * 3),
+                  -7, 7).astype(jnp.int8)
+    w4 = jnp.clip(jnp.round(jax.random.normal(ks[1], (N, H)) * 3),
+                  -7, 7).astype(jnp.int8)
+    h4 = jnp.clip(jnp.round(jax.random.normal(ks[2], (b, H)) * 3),
+                  -7, 7).astype(jnp.int8)
+    v4 = jnp.clip(jnp.round(jax.random.normal(ks[3], (H, H)) * 3),
+                  -7, 7).astype(jnp.int8)
+
+    print(f"# b={b} N={N} H={H} iters={iters} "
+          f"backend={jax.default_backend()}")
+
+    # --- can int4 live in HBM at the XLA level? ---------------------------
+    try:
+        w4dev = jax.jit(lambda w: w.astype(jnp.int4))(w4)
+        w4dev.block_until_ready()
+        print(f"int4 HBM array: OK shape={w4dev.shape} dtype={w4dev.dtype} "
+              f"nbytes={w4dev.nbytes}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        w4dev = None
+        print(f"int4 HBM array: FAILED {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+
+    def dot(dims, ca=None, cb=None):
+        def fn(a, bb):
+            if ca is not None:
+                a = a.astype(ca)
+            if cb is not None:
+                bb = bb.astype(cb)
+            return jax.lax.dot_general(a, bb, (dims, ((), ())),
+                                       preferred_element_type=jnp.int32)
+        return fn
+
+    d10 = ((1,), (0,))
+    d00 = ((0,), (0,))
+    d11 = ((1,), (1,))
+
+    # --- W1 forward (B,N)x(N,H) -------------------------------------------
+    scan_time("w1-i8", dot(d10), (x8, w8), iters, b)
+    scan_time("w1-i4cast", dot(d10, jnp.int4, jnp.int4), (x4, w4), iters, b)
+    if w4dev is not None:
+        w1_4 = jax.jit(lambda w: w.astype(jnp.int4))(w4)
+        scan_time("w1-i4stored-w", dot(d10, jnp.int4, None), (x4, w1_4),
+                  iters, b)
+    scan_time("w1-i8xi4", dot(d10, None, jnp.int4), (x8, w4), iters, b)
+    # bf16 context
+    xb = x8.astype(jnp.bfloat16)
+    wb = w8.astype(jnp.bfloat16)
+
+    def dotbf(a, bb):
+        return jax.lax.dot_general(a, bb, (d10, ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    scan_time("w1-bf16", dotbf, (xb, wb), iters, b)
+
+    # --- W2 forward (B,H)x(H,H) -------------------------------------------
+    scan_time("w2-i8", dot(d10), (h8, v8), iters, b)
+    scan_time("w2-i4cast", dot(d10, jnp.int4, jnp.int4), (h4, v4), iters, b)
+
+    # --- dW1 (0,0): (B,N)^T x (B,H) — Mosaic-illegal for int4 --------------
+    scan_time("dw1-i8(0,0)", dot(d00), (x8, h8), iters, b)
+    scan_time("dw1-i4(0,0)", dot(d00, jnp.int4, jnp.int4), (x4, h4),
+              iters, b)
+
+    # --- dx (1,1): (B,H) x (H,H)^T ----------------------------------------
+    scan_time("dx-i8(1,1)", dot(d11), (h8, v8), iters, b)
+    scan_time("dx-i4(1,1)", dot(d11, jnp.int4, jnp.int4), (h4, v4),
+              iters, b)
+
+
+if __name__ == "__main__":
+    main()
