@@ -131,19 +131,22 @@ def maybe_mesh(args):
     (or --mesh-model asks for model parallelism); None on a single chip.
     Joins a multi-host run first when the multi-host flags are given."""
     multihost = maybe_multihost(args)
+    model = getattr(args, "mesh_model", 1) or 1
     if not multihost and getattr(args, "device", 0) == -1:
-        # -d -1 = CPU run (reference device semantics): don't initialize
-        # the accelerator backend just to discover a mesh — a CPU run must
-        # work even when the TPU plugin/tunnel is unreachable (observed:
-        # jax.devices() here hung every -d -1 CLI run during a tunnel
-        # outage), and a CPU run never wants an accelerator mesh anyway
+        # -d -1 = CPU run (reference device semantics): pin the platform
+        # BEFORE any device query so the accelerator backend is never
+        # initialized — a CPU run must work even when the TPU plugin's
+        # tunnel is unreachable (observed: jax.devices() here hung every
+        # -d -1 CLI run during a tunnel outage)
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass  # backends already up (in-process caller) — harmless
-        return None
+        if model <= 1:
+            return None
+        # an explicit --mesh-model N still gets its (CPU-device) mesh —
+        # the virtual-device TP path stays testable with -d -1
     n = len(jax.devices())
-    model = getattr(args, "mesh_model", 1) or 1
     if n <= 1:
         return None
     from spatialvae_tpu.parallel import MeshConfig, create_mesh
@@ -287,6 +290,35 @@ def train_chunk(trainer, dataset, epoch: int, num_epochs: int,
             for i, row in enumerate(rows)]
 
 
+def chunked_epochs(trainer, dataset, start_epoch: int, num_epochs: int,
+                   eval_interval, save_interval=None, profile_dir=None):
+    """Drive a whole training run in train_chunk-sized pieces, yielding
+    (rows, next_epoch) per chunk, rows = [(epoch, (elbo, gen, kl)), ...].
+
+    Owns the scaffolding the three trainers previously each duplicated
+    (the round-3 tail-drift lesson: three copies of off-by-one-prone
+    logic WILL diverge): the epoch cursor, and the --profile-dir trace
+    around the chunk holding epoch 1 (a single warm epoch dispatch, see
+    chunk_len).  stop_trace runs when the caller RESUMES the generator,
+    so the caller's post-chunk eval/dump work lands inside the trace,
+    exactly like the loops this replaces."""
+    eval_interval = max(1, eval_interval or 1)
+    profile_epoch = 1 if profile_dir is not None else None
+    epoch = start_epoch
+    while epoch < num_epochs:
+        tracing = profile_dir is not None and epoch <= 1 < \
+            epoch + chunk_len(epoch, num_epochs, eval_interval,
+                              save_interval, profile_epoch)
+        if tracing:
+            jax.profiler.start_trace(profile_dir)
+        rows = train_chunk(trainer, dataset, epoch, num_epochs,
+                           eval_interval, save_interval, profile_epoch)
+        epoch = rows[-1][0] + 1
+        yield rows, epoch
+        if tracing:
+            jax.profiler.stop_trace()
+
+
 @contextlib.contextmanager
 def device_context(device_flag: int, matmul_precision: str = "highest",
                    debug_nans: bool = False, adam_moments: str = "f32"):
@@ -311,7 +343,12 @@ def device_context(device_flag: int, matmul_precision: str = "highest",
             with jax.default_device(cpu):
                 yield cpu
             return
-        devices = jax.devices()
+        # local_devices, not the global list: under a multi-host join the
+        # global list leads with process 0's devices, which are NOT
+        # addressable from other processes — defaulting to jax.devices()[0]
+        # crashed every rank > 0 at the first eager placement.  -d N also
+        # means a LOCAL ordinal in the reference (torch.cuda device index).
+        devices = jax.local_devices()
         idx = device_flag if device_flag >= 0 else 0
         dev = devices[min(idx, len(devices) - 1)]
         with jax.default_device(dev):

@@ -29,9 +29,9 @@ from spatialvae_tpu.cli.common import (
     maybe_resume,
     add_arg,
     add_common_extras,
+    chunked_epochs,
     device_context,
     resolve_activation_name,
-    train_chunk,
 )
 
 LOGGING_LEVELS = {"CRITICAL": 50, "ERROR": 40, "WARNING": 30, "INFO": 20,
@@ -259,30 +259,16 @@ def run(args):
         train_results, val_results = [], []
         train_lines, val_lines = [header], [header]
 
-        import jax
-
-        from spatialvae_tpu.cli.common import chunk_len
-
-        eval_interval = max(1, getattr(args, "eval_interval", 1))
-        epoch = start_epoch
-        while epoch < num_epochs:
-            # single-epoch dispatches through the traced epoch (see
-            # cli.common.chunk_len)
-            profile_epoch = 1 if args.profile_dir is not None else None
-            tracing = args.profile_dir is not None and epoch <= 1 < \
-                epoch + chunk_len(epoch, num_epochs, eval_interval,
-                                  save_interval, profile_epoch)
-            if tracing:
-                jax.profiler.start_trace(args.profile_dir)
-            for e, tr in train_chunk(trainer, data_train, epoch,
-                                     num_epochs, eval_interval,
-                                     save_interval, profile_epoch):
+        for rows, epoch in chunked_epochs(
+                trainer, data_train, start_epoch, num_epochs,
+                getattr(args, "eval_interval", 1), save_interval,
+                args.profile_dir):
+            for e, tr in rows:
                 row = [e, *tr]
                 train_results.append(row)
                 line = "\t".join(map(str, row))
                 train_lines.append(line)
                 print(line, flush=True)
-                epoch = e + 1
             z_scale = 0.0 if (epoch - 1) < args.z_delay else 1.0
             epoch_str = str(epoch).zfill(digits)
             va = trainer.eval_epoch(data_val, epoch - 1, z_scale=z_scale)
@@ -295,8 +281,6 @@ def run(args):
             line = "\t".join(map(str, row))
             val_lines.append(line)
             print(line, flush=True)
-            if tracing:
-                jax.profiler.stop_trace()
 
         # blocking: the zip archive below must include the checkpoints
         save_trained_models(args.save_prefix, num_epochs - 1, digits, 1,

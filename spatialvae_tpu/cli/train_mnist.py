@@ -22,9 +22,9 @@ from spatialvae_tpu.cli.common import (
     maybe_resume,
     add_arg,
     add_common_extras,
+    chunked_epochs,
     device_context,
     resolve_activation_name,
-    train_chunk,
 )
 
 
@@ -169,8 +169,6 @@ def main(argv=None):
 
 
 def run(args):
-    import jax
-
     from spatialvae_tpu.core.config import (
         InferenceConfig,
         SpatialGeneratorConfig,
@@ -275,32 +273,18 @@ def run(args):
         train_results, val_results = [], []
         train_lines, val_lines = [header], [header]
 
-        from spatialvae_tpu.cli.common import chunk_len
-
-        prof_dir = args.profile_dir
-        eval_interval = max(1, getattr(args, "eval_interval", 1))
-        epoch = start_epoch
-        while epoch < num_epochs:
-            # profile_epoch keeps epochs 0 and 1 single-epoch dispatches
-            # so the trace is exactly one warm epoch (not the multi-epoch
-            # scan compile + the whole chunk)
-            profile_epoch = 1 if prof_dir is not None else None
-            tracing = prof_dir is not None and epoch <= 1 < epoch + \
-                chunk_len(epoch, num_epochs, eval_interval, save_interval,
-                          profile_epoch)
-            if tracing:
-                jax.profiler.start_trace(prof_dir)
-            for e, tr in train_chunk(trainer, data_train, epoch,
-                                     num_epochs, eval_interval,
-                                     save_interval, profile_epoch):
+        # reference behavior at eval_interval=1: eval every epoch;
+        # N>1 evals only at chunk boundaries (additive flag)
+        for rows, epoch in chunked_epochs(
+                trainer, data_train, start_epoch, num_epochs,
+                getattr(args, "eval_interval", 1), save_interval,
+                args.profile_dir):
+            for e, tr in rows:
                 row = [e, *tr]
                 train_results.append(row)
                 line = "\t".join(map(str, row))
                 train_lines.append(line)
                 print(line, flush=True)
-                epoch = e + 1
-            # reference behavior at eval_interval=1: eval every epoch;
-            # N>1 evals only at chunk boundaries (additive flag)
             va = trainer.eval_epoch(data_test, epoch - 1)
             epoch_str = str(epoch).zfill(digits)
             if epoch % save_interval == 0:
@@ -311,8 +295,6 @@ def run(args):
             line = "\t".join(map(str, row))
             val_lines.append(line)
             print(line, flush=True)
-            if tracing:
-                jax.profiler.stop_trace()
 
         # blocking: the zip archive below must include the checkpoints
         save_trained_models(args.save_prefix, num_epochs - 1, digits, 1,

@@ -26,7 +26,7 @@ from spatialvae_tpu.cli.common import (
     add_common_extras,
     device_context,
     resolve_activation_name,
-    train_chunk,
+    chunked_epochs,
 )
 
 
@@ -266,27 +266,13 @@ def run(args):
 
         print("\t".join(["Epoch", "Split", "ELBO", "Error", "KL"]))
 
-        import jax
-
-        from spatialvae_tpu.cli.common import chunk_len
-
-        eval_interval = max(1, getattr(args, "eval_interval", 1))
-        epoch = start_epoch
-        while epoch < num_epochs:
-            # single-epoch dispatches through the traced epoch (see
-            # cli.common.chunk_len)
-            profile_epoch = 1 if args.profile_dir is not None else None
-            tracing = args.profile_dir is not None and epoch <= 1 < \
-                epoch + chunk_len(epoch, num_epochs, eval_interval,
-                                  args.save_interval, profile_epoch)
-            if tracing:
-                jax.profiler.start_trace(args.profile_dir)
-            for e, tr in train_chunk(trainer, data_train, epoch,
-                                     num_epochs, eval_interval,
-                                     args.save_interval, profile_epoch):
+        for rows, epoch in chunked_epochs(
+                trainer, data_train, start_epoch, num_epochs,
+                getattr(args, "eval_interval", 1), args.save_interval,
+                args.profile_dir):
+            for e, tr in rows:
                 print("\t".join([str(e + 1), "train", *map(str, tr)]),
                       flush=True)
-                epoch = e + 1
             z_scale = 0.0 if (epoch - 1) < args.z_delay else 1.0
             va = trainer.eval_epoch(data_test, epoch - 1, z_scale=z_scale)
             print("\t".join([str(epoch), "test", *map(str, va)]),
@@ -311,8 +297,6 @@ def run(args):
                 save_optimizer(
                     optimizer_path(args.save_prefix, epoch - 1, digits),
                     trainer.state.opt_state, epoch - 1, async_write=True)
-            if tracing:
-                jax.profiler.stop_trace()
 
         from spatialvae_tpu.train.checkpoint import wait_for_checkpoints
 

@@ -35,6 +35,7 @@ names are registered — ``nn.Module`` restores its state through plain
 
 from __future__ import annotations
 
+import contextlib
 import sys
 import types
 
@@ -60,18 +61,26 @@ def _torch():
     return torch
 
 
-def _ensure_reference_classes(torch) -> None:
-    """Make ``spatial_vae.models.*`` resolvable for the unpickler.
+@contextlib.contextmanager
+def _reference_classes(torch):
+    """Make ``spatial_vae.models.*`` resolvable for the (un)pickler WHILE
+    the context is active, without leaving anything behind.
 
     Prefers the user's real reference package; falls back to bare
     ``nn.Module`` subclasses with the right qualified names (unpickling
-    bypasses ``__init__`` — only attribute restoration runs)."""
+    bypasses ``__init__`` — only attribute restoration runs).  The
+    stand-in modules are REMOVED from sys.modules on exit: leaving them
+    cached would shadow a real ``spatial_vae`` package put on sys.path
+    later in the same process.  Reentrant: a nested context sees the
+    entries present and leaves cleanup to the outermost one."""
     try:
         import spatial_vae.models  # noqa: F401
+        yield
         return
     except ImportError:
         pass
     if "spatial_vae.models" in sys.modules:
+        yield
         return
     pkg = types.ModuleType("spatial_vae")
     mod = types.ModuleType("spatial_vae.models")
@@ -82,16 +91,23 @@ def _ensure_reference_classes(torch) -> None:
     pkg.models = mod
     sys.modules["spatial_vae"] = pkg
     sys.modules["spatial_vae.models"] = mod
+    try:
+        yield
+    finally:
+        if sys.modules.get("spatial_vae.models") is mod:
+            del sys.modules["spatial_vae.models"]
+        if sys.modules.get("spatial_vae") is pkg:
+            del sys.modules["spatial_vae"]
 
 
 def load_torch_module(path: str):
     """torch.load a reference .sav (whole-module pickle) on CPU."""
     torch = _torch()
-    _ensure_reference_classes(torch)
-    try:
-        return torch.load(path, map_location="cpu", weights_only=False)
-    except TypeError:  # torch builds predating the weights_only kwarg
-        return torch.load(path, map_location="cpu")
+    with _reference_classes(torch):
+        try:
+            return torch.load(path, map_location="cpu", weights_only=False)
+        except TypeError:  # torch builds predating the weights_only kwarg
+            return torch.load(path, map_location="cpu")
 
 
 # ---------------------------------------------------------------------------
@@ -283,8 +299,9 @@ def _resolve_classes(torch) -> dict:
     """The class objects to pickle against: the user's real reference
     package when importable, our registered stand-ins otherwise (pickle
     saves classes by reference and verifies identity with the module
-    attribute, so the two sources must never mix)."""
-    _ensure_reference_classes(torch)
+    attribute, so the two sources must never mix).  Callers must hold an
+    active ``_reference_classes`` context that spans the torch.save —
+    pickling resolves the classes through sys.modules at save time."""
     import spatial_vae.models as m
 
     return {name: getattr(m, name) for name in _REF_CLASSES}
@@ -335,9 +352,18 @@ def _torch_stack(layers, cfg, classes, torch, head_modules):
 
 def build_generator_module(params, cfg):
     """Our (params, SpatialGeneratorConfig | VanillaGeneratorConfig) ->
-    a torch module with the reference's exact attribute/layer layout."""
+    a torch module with the reference's exact attribute/layer layout.
+
+    NOTE: when the reference package is not importable the classes are
+    transient stand-ins — pickling such a module must happen inside the
+    same ``_reference_classes`` context (use ``export_generator``)."""
     torch = _torch()
-    classes = _resolve_classes(torch)
+    with _reference_classes(torch):
+        classes = _resolve_classes(torch)
+        return _build_generator_module(params, cfg, classes, torch)
+
+
+def _build_generator_module(params, cfg, classes, torch):
     if isinstance(cfg, VanillaGeneratorConfig):
         net = _blank_module(classes["VanillaGenerator"], torch)
         net.n_out = cfg.n_out
@@ -380,7 +406,12 @@ def build_generator_module(params, cfg):
 
 def build_inference_module(params, cfg: InferenceConfig):
     torch = _torch()
-    classes = _resolve_classes(torch)
+    with _reference_classes(torch):
+        classes = _resolve_classes(torch)
+        return _build_inference_module(params, cfg, classes, torch)
+
+
+def _build_inference_module(params, cfg, classes, torch):
     net = _blank_module(classes["InferenceNetwork"], torch)
     net.latent_dim = cfg.latent_dim
     net.n = cfg.n
@@ -393,10 +424,20 @@ def build_inference_module(params, cfg: InferenceConfig):
 
 
 def export_generator(params, cfg, path: str) -> None:
-    """Write a reference-format generator .sav (torch module pickle)."""
-    _torch().save(build_generator_module(params, cfg), path)
+    """Write a reference-format generator .sav (torch module pickle).
+
+    One ``_reference_classes`` context spans build AND save: pickle
+    verifies class identity through sys.modules at save time, so the
+    stand-ins must still be registered when torch.save runs."""
+    torch = _torch()
+    with _reference_classes(torch):
+        torch.save(_build_generator_module(
+            params, cfg, _resolve_classes(torch), torch), path)
 
 
 def export_inference(params, cfg: InferenceConfig, path: str) -> None:
     """Write a reference-format inference .sav (torch module pickle)."""
-    _torch().save(build_inference_module(params, cfg), path)
+    torch = _torch()
+    with _reference_classes(torch):
+        torch.save(_build_inference_module(
+            params, cfg, _resolve_classes(torch), torch), path)

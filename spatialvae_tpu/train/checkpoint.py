@@ -126,10 +126,12 @@ def load_model_meta(path: str):
         # torch candidate before giving up
         try:
             return _load_reference_sav(path)
-        except Exception:
+        except Exception as e:
+            # chain the cause: 'torch is not installed' or a corrupt-pickle
+            # message is the actionable part for the user
             raise ValueError(
                 f"{path} is neither a {FORMAT} checkpoint nor a loadable "
-                "reference torch .sav") from None
+                f"reference torch .sav ({type(e).__name__}: {e})") from e
     elbo = payload.get("elbo")
     meta = {
         "elbo": None if elbo is None else config_from_dict(elbo),

@@ -171,6 +171,32 @@ def test_import_without_reference_package(tmp_path, ref_models):
         np.testing.assert_array_equal(a, b)
 
 
+def test_standins_never_linger(tmp_path, ref_models):
+    """Importing a .sav without the reference package must not leave the
+    stand-in spatial_vae modules cached in sys.modules (they would shadow
+    a real reference package imported later in the process)."""
+    from spatialvae_tpu.io.torch_import import import_generator
+
+    torch.manual_seed(1)
+    p_net = ref_models.SpatialGenerator(latent_dim=2, hidden_dim=6,
+                                        num_layers=1)
+    path = _save(tmp_path, p_net, "g2.sav")
+    saved = {k: sys.modules.get(k)
+             for k in ("spatial_vae", "spatial_vae.models")}
+    try:
+        for k in saved:
+            sys.modules.pop(k, None)
+        import_generator(path)
+        assert "spatial_vae" not in sys.modules
+        assert "spatial_vae.models" not in sys.modules
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
 def jax_leaves(tree):
     import jax
 
@@ -339,8 +365,11 @@ def test_export_without_reference_package(tmp_path, ref_models):
         for k in saved:
             sys.modules.pop(k, None)
         ti.export_generator(params, cfg, path)
-        assert type(sys.modules["spatial_vae.models"].SpatialGenerator) \
-            is type  # exported against the stand-ins
+        # exported against transient stand-ins, which must NOT linger:
+        # a cached fake spatial_vae would shadow the real package if the
+        # user puts it on sys.path later in the same process
+        assert "spatial_vae" not in sys.modules
+        assert "spatial_vae.models" not in sys.modules
     finally:
         for k, v in saved.items():
             if v is None:
