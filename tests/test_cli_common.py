@@ -179,6 +179,52 @@ def test_cpu_run_never_queries_accelerator_devices(monkeypatch):
         pass
 
 
+def test_chunked_epochs_trace_and_epoch_advance(monkeypatch):
+    """The shared chunk generator: (a) the --profile-dir trace wraps
+    exactly the single-epoch chunk holding epoch 1 AND the caller's
+    post-chunk work (stop on resume); (b) the yielded epoch cursor
+    advances past each chunk; (c) chunks merge once the traced epoch has
+    passed, capped by the eval interval."""
+    import jax
+
+    from spatialvae_tpu.cli.common import chunked_epochs
+
+    events = []
+    monkeypatch.setattr(jax.profiler, "start_trace",
+                        lambda d: events.append("start"))
+    monkeypatch.setattr(jax.profiler, "stop_trace",
+                        lambda: events.append("stop"))
+
+    class FakeTrainer:
+        def train_epoch(self, dataset, epoch, **kw):
+            return (1.0, 2.0, 3.0)
+
+        def train_epochs(self, dataset, epoch, chunk):
+            return [(1.0, 2.0, 3.0)] * chunk
+
+    for rows, epoch in chunked_epochs(FakeTrainer(), None, 0, 4,
+                                      eval_interval=2, save_interval=None,
+                                      profile_dir="/tmp/x"):
+        events.append(("chunk", [r[0] for r in rows], epoch))
+        for _, tr in rows:
+            assert tr == (1.0, 2.0, 3.0)
+
+    # epochs 0 and 1 run alone (trace pending), only epoch 1 is traced,
+    # the caller's work lands before the stop, then 2-3 run as one chunk
+    assert events == [
+        ("chunk", [0], 1),
+        "start", ("chunk", [1], 2), "stop",
+        ("chunk", [2, 3], 4),
+    ]
+
+    # no profile dir: full-size chunks from the start, no trace events
+    events.clear()
+    for rows, epoch in chunked_epochs(FakeTrainer(), None, 0, 4,
+                                      eval_interval=2):
+        events.append(("chunk", [r[0] for r in rows], epoch))
+    assert events == [("chunk", [0, 1], 2), ("chunk", [2, 3], 4)]
+
+
 def test_device_context_restores_moments_env(monkeypatch):
     """A bf16 --adam-moments run must not leak SPATIALVAE_ADAM_MOMENTS
     into a later in-process run that asked for the f32 default."""
