@@ -92,11 +92,40 @@ def _quantize_dataset(arr):
     scale/round/clip into one pass — eagerly this materialises several
     dataset-sized f32 temporaries and can exhaust HBM at bench scale.
     Module-level so repeated cache misses reuse ONE compiled program per
-    shape instead of re-tracing a fresh closure."""
-    flat = arr.reshape(arr.shape[0], -1).astype(jnp.float32)
-    s = (jnp.max(jnp.abs(flat)) / 127.0 + 1e-30).reshape(1, 1)
-    q = jnp.clip(jnp.round(flat / s), -127, 127).astype(jnp.int8)
-    return q, s
+    shape instead of re-tracing a fresh closure.  Delegates to the
+    weight-side quantize_leaf so the dataset and Adam-emitted weight
+    grids share ONE quant convention (scale epsilon, clip bounds) and
+    can never silently diverge."""
+    from spatialvae_tpu.train.optimizer_pallas import quantize_leaf
+
+    e = quantize_leaf(arr.reshape(arr.shape[0], -1), True)
+    return e["q"], e["s"]
+
+
+# the two dataset passes below are module-level jits for the same reason
+# as _quantize_dataset: repeated _yt_cache misses (cycling 3+ datasets
+# through the 2-entry cache) must reuse ONE compiled program per shape
+# instead of re-tracing a fresh closure every call.  Both are single
+# fused passes so the HBM peak stays at one dataset-sized transient (the
+# naive probe materialised three f32 copies of a 3.2 GB dataset and
+# OOM'd the bench at B=4096).
+
+
+@jax.jit
+def _probe_255_grid(a):
+    """(max |255a - round(255a)|, min, max of round(255a)) — detects data
+    sitting exactly on the uint8/255 grid."""
+    scaled = a.astype(jnp.float32) * 255.0
+    q = jnp.round(scaled)
+    return (jnp.max(jnp.abs(scaled - q)), jnp.min(q), jnp.max(q))
+
+
+@partial(jax.jit, static_argnums=1)
+def _build_yt_i8(a, hw: int):
+    """(N, C, HW) int8 target copy of /255-grid data, stored as k-128
+    (the fused kernel dequants in its p3 pass)."""
+    q = jnp.round(a.astype(jnp.float32) * 255.0) - 128.0
+    return q.astype(jnp.int8).reshape(a.shape[0], hw, -1).swapaxes(1, 2)
 
 
 def grad_target(state: "TrainState"):
@@ -532,25 +561,11 @@ class Trainer:
         hw = self.coords.shape[0]
         src = jnp.asarray(y)
 
-        # two fused single-output passes keep the HBM peak at one
-        # dataset-sized transient (the naive probe materialised three f32
-        # copies of a 3.2 GB dataset and OOM'd the bench at B=4096)
-        @jax.jit
-        def probe(a):
-            scaled = a.astype(jnp.float32) * 255.0
-            q = jnp.round(scaled)
-            return (jnp.max(jnp.abs(scaled - q)), jnp.min(q), jnp.max(q))
-
-        err, qmin, qmax = (float(v) for v in probe(src))
+        err, qmin, qmax = (float(v) for v in _probe_255_grid(src))
         on_grid = err < 1e-3 and qmin >= 0.0 and qmax <= 255.0
 
         if on_grid:
-            @jax.jit
-            def build_i8(a):
-                q = jnp.round(a.astype(jnp.float32) * 255.0) - 128.0
-                return q.astype(jnp.int8).reshape(n, hw, -1).swapaxes(1, 2)
-
-            yt = build_i8(src)
+            yt = _build_yt_i8(src, hw)
         else:
             yt = (src.reshape(n, hw, -1).swapaxes(1, 2)
                   .astype(self._compute_dtype))
@@ -624,6 +639,13 @@ class Trainer:
             prev_aux = None
             perm_np = np.asarray(perm)
             rows = []
+            # the y_t/y_q8 dataset copies are deliberately NOT built here:
+            # --no-preload exists to keep HBM at one-minibatch scale, and
+            # per-batch substitutes don't pay — a host-side transpose is
+            # slower than the in-graph one it would replace, and a
+            # per-BATCH quant scale would make streamed int8 numerics
+            # diverge from the preloaded per-DATASET scale.  Streamed
+            # steps take the in-graph transpose/quant path (perf-only).
             # derive per-step keys by the SAME split chain the preloaded
             # scan's body uses (k, sub = split(k) each step), so streamed
             # and preloaded runs share one trajectory — same batches AND
@@ -655,8 +677,16 @@ class Trainer:
                 ctf = (None if dataset.ctf is None
                        else jnp.asarray(dataset.ctf[idx]))
                 k_tail = jax.random.fold_in(step_key, num_full)
-                state, tail_metrics = self._train_step(state, y, ctf,
-                                                       k_tail, z_scale)
+                if self._spmd and tail % self.mesh.shape["data"] != 0:
+                    # same routing as the preloaded branch below: the
+                    # shard_map step's P('data') in_specs cannot take a
+                    # batch that does not divide the data axis — train it
+                    # through the replicated plain step instead
+                    state, tail_metrics = self._tail_step(state, y, ctf,
+                                                          k_tail, z_scale)
+                else:
+                    state, tail_metrics = self._train_step(state, y, ctf,
+                                                           k_tail, z_scale)
         else:
             if num_full:
                 data_t = (self._dataset_yt(dataset) if self._wants_yt(dataset)
@@ -777,12 +807,16 @@ class Trainer:
         acc = StreamingMeans()
         b = self.tcfg.minibatch_size
         if getattr(dataset, "host_resident", False):
+            # same split chain as eval_epoch_scan's body (k, sub = split(k))
+            # so streamed and preloaded evals draw identical noise — the
+            # training path was unified the same way (_split_chain)
+            step_keys = _split_chain(key, num_full) if num_full else None
             for i in range(num_full):
                 y = jnp.asarray(dataset.y[i * b:(i + 1) * b])
                 ctf = (None if dataset.ctf is None
                        else jnp.asarray(dataset.ctf[i * b:(i + 1) * b]))
-                k = jax.random.fold_in(key, i)
-                m = self._eval_step(self.state.params, y, ctf, k, zs)
+                m = self._eval_step(self.state.params, y, ctf,
+                                    step_keys[i], zs)
                 acc.update(b, *[float(v) for v in np.asarray(m)])
         elif num_full:
             # eval runs without the fused LOSS kernel (see _nonstep_ecfg),

@@ -351,6 +351,50 @@ def test_spmd_tail_batch_is_trained_not_dropped():
         rtol=1e-5, atol=1e-7)
 
 
+def test_spmd_streamed_tail_routes_around_shard_map():
+    """--no-preload under a DP mesh: a tail that doesn't divide the data
+    axis must take the replicated tail step, exactly like the preloaded
+    branch — it used to go straight to the shard_map step, whose
+    P('data') in_specs raise on 4 % 8 != 0."""
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 16
+    q_cfg = InferenceConfig(n=n * m, latent_dim=5, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, num_layers=2)
+    tcfg = TrainConfig(minibatch_size=16, num_epochs=1, seed=0,
+                       image_shape=(n, m))
+    coords = coord_grid(n, m)
+    data_np = np.asarray(jax.random.uniform(jax.random.PRNGKey(2),
+                                            (4, n * m)))
+
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    ecfg = ElboConfig(likelihood="bernoulli", theta_prior=np.pi, fused=True)
+    t_mesh = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh)
+    assert t_mesh._spmd
+    host = ArrayDataset.from_numpy(data_np, preload=False)
+    assert host.host_resident
+    r_stream = t_mesh.train_epoch(host, 0, progress=False)
+
+    # matches the preloaded mesh epoch exactly (same tail step, same keys)
+    t_pre = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh)
+    r_pre = t_pre.train_epoch(ArrayDataset(jnp.asarray(data_np)), 0,
+                              progress=False)
+    np.testing.assert_allclose(np.asarray(r_stream), np.asarray(r_pre),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(t_mesh.state.params["p"]["coord"]["w"]),
+        np.asarray(t_pre.state.params["p"]["coord"]["w"]),
+        rtol=1e-5, atol=1e-7)
+
+
 def test_spmd_train_epochs_matches_sequential():
     """Trainer.train_epochs (multi-epoch in-graph scan) composed with the
     shard_map DP step: one dispatch for the whole run on the mesh must

@@ -238,6 +238,19 @@ def test_no_preload_streaming_matches_preloaded_trajectory():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_no_preload_eval_matches_preloaded():
+    """eval_epoch must draw the same reparameterisation noise on both
+    data paths: the streamed loop replays eval_epoch_scan's split chain
+    (it used fold_in(key, i) before, so --no-preload eval metrics were
+    not reproducible against a preloaded run's)."""
+    rng = np.random.RandomState(4)
+    data_np = rng.rand(40, 64).astype(np.float32)   # 2 full + tail of 8
+    t = _trainer(batch=16)
+    es = t.eval_epoch(ArrayDataset.from_numpy(data_np, preload=False), 0)
+    ep = t.eval_epoch(ArrayDataset(jnp.asarray(data_np)), 0)
+    np.testing.assert_allclose(np.asarray(es), np.asarray(ep), rtol=2e-3)
+
+
 def test_no_preload_streaming_feeds_same_sorted_batches():
     """The streamed (--no-preload) path must feed the SAME within-batch-
     sorted index batches as the preloaded scan (round 4's sorted gathers
