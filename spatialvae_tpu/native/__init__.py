@@ -94,10 +94,21 @@ def normalize_whole_inplace(stack: np.ndarray) -> bool:
     return True
 
 
+# bytes per element for each supported MRC mode (0 int8, 1 int16,
+# 2 float32, 6 uint16)
+_MRC_ITEMSIZE = {0: 1, 1: 2, 2: 4, 6: 2}
+
+
 def mrc_decode_f32(data: bytes, count: int, mode: int
                    ) -> Optional[np.ndarray]:
     lib = _load()
-    if lib is None:
+    itemsize = _MRC_ITEMSIZE.get(mode)
+    if lib is None or itemsize is None:
+        return None
+    if count < 0 or len(data) < count * itemsize:
+        # truncated stack: the C decoder would read out of bounds —
+        # return None so the caller falls back to the pure-Python codec,
+        # which raises a proper error for short buffers
         return None
     out = np.empty(count, dtype=np.float32)
     buf = np.frombuffer(data, dtype=np.uint8)
@@ -114,6 +125,8 @@ def grid_tile(images: np.ndarray, xmaps: int, ymaps: int, padding: int,
         return None
     images = np.ascontiguousarray(images, dtype=np.float32)
     b, n, m, c = images.shape
+    if b > xmaps * ymaps:
+        return None  # canvas too small — C tiler would write out of bounds
     h = (n + padding) * ymaps + padding
     w = (m + padding) * xmaps + padding
     canvas = np.empty((h, w, c), dtype=np.uint8)

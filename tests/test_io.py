@@ -38,6 +38,29 @@ def test_mrc_roundtrip(dtype, mode):
     np.testing.assert_array_equal(out, arr)
 
 
+def test_truncated_mrc_never_reaches_native_decoder(tmp_path):
+    """A stack whose data section is shorter than the header promises must
+    take the pure-Python error path: the ctypes binding returns None for
+    short buffers (the C decoder would read out of bounds) and parse_mrc
+    raises a proper error."""
+    arr = np.arange(3 * 5 * 7, dtype=np.float32).reshape(3, 5, 7)
+    buf = io.BytesIO()
+    write_mrc(buf, arr, header=make_header(arr.shape, dtype=np.float32))
+    payload = buf.getvalue()[:-40]                  # chop the last rows
+    path = tmp_path / "trunc.mrc"
+    path.write_bytes(payload)
+
+    from spatialvae_tpu import native
+    from spatialvae_tpu.io.loaders import load_images
+
+    if native.available():
+        hdr = MrcHeader.unpack(payload)
+        count = hdr.nz * hdr.ny * hdr.nx
+        assert native.mrc_decode_f32(payload[1024:], count, hdr.mode) is None
+    with pytest.raises(Exception):
+        load_images(str(path))
+
+
 def test_mrc_default_header_and_squeeze():
     arr = np.random.RandomState(1).randn(1, 6, 6).astype(np.float32)
     buf = io.BytesIO()
