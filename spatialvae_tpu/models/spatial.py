@@ -136,6 +136,13 @@ def fold_pose_into_first_layer(params, cfg: SpatialGeneratorConfig,
     coord_linear(rotate(x)+dx) + latent_linear(z).
     """
     assert can_fold(cfg)
+    if theta is None and dx is None and z is None:
+        # nothing carries a batch dimension to fold over — a pose-free,
+        # latent-free decode should pass z=(B, 0) to pick the batch size
+        raise ValueError(
+            "fold_pose_into_first_layer needs at least one of theta/dx/z "
+            "to carry the batch dimension; pass z of shape (B, 0) for a "
+            "pose-free latent_dim=0 decode")
     w = params["coord"]["w"]                          # (2, H)
     w0, w1 = w[0], w[1]
     if theta is not None:

@@ -55,6 +55,9 @@ class ElboConfig:
     theta_prior: float = 3.141592653589793
     theta_mean_penalty: bool = False
     likelihood: str = "bernoulli"          # bernoulli | gaussian | colored
+    # informational only: channel handling inside elbo_minibatch is derived
+    # from array shapes (target vs mask sizes); kept because it is persisted
+    # in checkpoints and documents the training data for serving
     channels: int = 1
     vanilla: bool = False
     use_fold: bool = True
@@ -64,15 +67,48 @@ class ElboConfig:
     fit_noise_interleaved: bool = True
 
 
-def _bce_sum(y_hat: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Summed binary cross entropy with torch's -100 log clamp.
+@jax.custom_vjp
+def _bce_elems(y_hat: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-element binary cross entropy with torch's -100 log clamp AND
+    torch's exact backward.
 
-    torch.nn.functional.binary_cross_entropy clamps each log term at -100
-    (train_mnist.py:81 relies on this for saturated sigmoids).
-    """
+    Forward: torch.nn.functional.binary_cross_entropy clamps each log
+    term at -100 (train_mnist.py:81 relies on this for saturated
+    sigmoids).  Backward: autodiffing clip∘log NaNs the whole gradient
+    once a sigmoid saturates to exactly 0.0/1.0 in f32 (routine for
+    |logit| > ~17): the clip zeroes the cotangent but the log transpose
+    still multiplies by an inf derivative, and 0*inf = NaN — even for
+    correctly-predicted or masked-out pixels.  torch's
+    binary_cross_entropy_backward instead computes
+    (y_hat − y) / clamp_min(y_hat·(1−y_hat), 1e-12), which is finite
+    everywhere and vanishes through the sigmoid chain at saturation;
+    this custom VJP replicates it exactly."""
     log_y = jnp.clip(jnp.log(y_hat), -100.0, None)
     log_1my = jnp.clip(jnp.log1p(-y_hat), -100.0, None)
-    return -jnp.sum(y * log_y + (1.0 - y) * log_1my)
+    return -(y * log_y + (1.0 - y) * log_1my)
+
+
+def _bce_elems_fwd(y_hat, y):
+    return _bce_elems(y_hat, y), (y_hat, y)
+
+
+def _bce_elems_bwd(res, g):
+    y_hat, y = res
+    denom = jnp.maximum(y_hat * (1.0 - y_hat), 1e-12)
+    d_yhat = g * (y_hat - y) / denom
+    # target cotangent (targets are data in practice): the exact
+    # derivative of the clamped-forward value wrt y
+    d_y = g * (jnp.clip(jnp.log1p(-y_hat), -100.0, None)
+               - jnp.clip(jnp.log(y_hat), -100.0, None))
+    return d_yhat, d_y
+
+
+_bce_elems.defvjp(_bce_elems_fwd, _bce_elems_bwd)
+
+
+def _bce_sum(y_hat: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Summed BCE (see _bce_elems for the clamp/backward contract)."""
+    return jnp.sum(_bce_elems(y_hat, y))
 
 
 def fused_loss_active(ecfg: ElboConfig, p_cfg, hw: int, batch: int) -> bool:
@@ -255,10 +291,7 @@ def elbo_minibatch(
             # over channels if y has them
             c = target.shape[1] // mask.shape[0]
             mflat = jnp.repeat(mask, c) if c > 1 else mask
-            yh = y_hat.reshape(b, -1)
-            log_y = jnp.clip(jnp.log(yh), -100.0, None)
-            log_1my = jnp.clip(jnp.log1p(-yh), -100.0, None)
-            per = -(target * log_y + (1.0 - target) * log_1my)
+            per = _bce_elems(y_hat.reshape(b, -1), target)
             log_p = -jnp.sum(per * mflat[None, :]) / b
         else:
             log_p = -_bce_sum(y_hat.reshape(b, -1), target) / b
@@ -294,7 +327,12 @@ def elbo_minibatch(
         else:
             per_elem = sq
         if mask is not None:
-            per_elem = per_elem * mask[None, :]
+            # broadcast the (HW,) mask over channels pixel-major, exactly
+            # like the bernoulli branch (multi-channel gaussian data is a
+            # library extension — the reference masks grayscale only)
+            c = per_elem.shape[1] // mask.shape[0]
+            mflat = jnp.repeat(mask, c) if c > 1 else mask
+            per_elem = per_elem * mflat[None, :]
         log_p = -0.5 * jnp.mean(jnp.sum(per_elem, axis=1))
         # display/serving output is always the (CTF-corrected) predicted
         # mean — for --fit-noise models too, not the raw (B, HW, 2) head

@@ -165,7 +165,9 @@ def elbo_reference(q_params, q_cfg, p_params, p_cfg, ecfg, coords, y, r,
         if y_var is not None:
             per = per / y_var + y_logvar
         if mask is not None:
-            per = per * mask[None, :]
+            c = per.shape[1] // mask.shape[0]
+            mflat = np.repeat(mask, c) if c > 1 else mask
+            per = per * mflat[None, :]
         logp = -0.5 * np.sum(per, axis=1).mean()
 
     zkl = -z_logstd + 0.5 * z_std ** 2 + 0.5 * z_mu ** 2 - 0.5

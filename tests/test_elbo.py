@@ -117,11 +117,12 @@ def test_mask_elbo_matches_oracle():
     np.testing.assert_allclose(float(elbo), e0, rtol=1e-4)
 
 
-def test_bernoulli_mask_matches_oracle_and_blocks_fused_path():
-    """bernoulli + mask must (a) never take the fused int8 loss kernel —
-    which has no mask support — and (b) compute the masked BCE.  The CLIs
-    never combine them (mask is particles/gaussian-only,
-    train_particles.py:126-133) but the library API allows it."""
+def test_bernoulli_mask_fused_matches_manual():
+    """bernoulli + mask rides the fused int8 loss kernel since round 4
+    (the mask became a kernel operand for both families) and must compute
+    the same masked BCE as the explicit decode.  The CLIs never combine
+    them (mask is particles/gaussian-only, train_particles.py:126-133)
+    but the library API allows it."""
     from jax.experimental.pallas import tpu as pltpu
 
     from spatialvae_tpu.objectives.elbo import fused_loss_active
@@ -149,6 +150,88 @@ def test_bernoulli_mask_matches_oracle_and_blocks_fused_path():
             + (1 - yy) * np.clip(np.log1p(-yh), -100, None))
     logp0 = -np.sum(per * mask[None, :]) / 4
     np.testing.assert_allclose(float(logp), logp0, rtol=1e-4)
+
+
+def test_bce_gradient_finite_at_sigmoid_saturation():
+    """f32 sigmoid saturates to exactly 1.0/0.0 for |logit| beyond ~17/104;
+    autodiff of the clamped logs NaN'd the whole gradient there (0 * inf
+    through the log transpose), while torch's binary_cross_entropy
+    backward stays finite and vanishes through the sigmoid chain.  The
+    custom VJP must match torch's gradient exactly, saturation included,
+    and keep the -100-clamped value parity."""
+    torch = pytest.importorskip("torch")
+
+    from spatialvae_tpu.objectives.elbo import _bce_sum
+
+    logits = np.array([-104.0, -30.0, -17.0, -3.0, 0.0, 3.0, 17.0, 30.0,
+                       104.0], np.float32)
+    y = np.array([1.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0], np.float32)
+    assert float(jax.nn.sigmoid(jnp.float32(104.0))) == 1.0   # saturated
+    assert float(jax.nn.sigmoid(jnp.float32(-104.0))) == 0.0
+
+    def loss(h):
+        return _bce_sum(jax.nn.sigmoid(h), jnp.asarray(y))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(logits)))
+    assert np.isfinite(g).all()
+
+    th = torch.tensor(logits, requires_grad=True)
+    tl = torch.nn.functional.binary_cross_entropy(
+        torch.sigmoid(th), torch.tensor(y), reduction="sum")
+    tl.backward()
+    np.testing.assert_allclose(g, th.grad.numpy(), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(loss(jnp.asarray(logits))), float(tl),
+                               rtol=1e-5)
+
+
+def test_masked_bernoulli_gradient_finite_at_saturation():
+    """A masked-OUT saturated pixel must not NaN the gradient either (the
+    mask multiply happens after the logs)."""
+    from spatialvae_tpu.objectives.elbo import _bce_elems
+
+    y_hat = jnp.asarray([1.0, 0.5], jnp.float32)
+    y = jnp.asarray([0.0, 1.0], jnp.float32)
+    mask = jnp.asarray([0.0, 1.0], jnp.float32)
+
+    def loss(p):
+        return jnp.sum(_bce_elems(p, y) * mask)
+
+    g = np.asarray(jax.grad(loss)(y_hat))
+    assert np.isfinite(g).all()
+    assert g[0] == 0.0                         # masked out
+
+
+def test_gaussian_mask_broadcasts_over_channels():
+    """(HW,) mask on multi-channel gaussian data broadcasts pixel-major,
+    like the bernoulli branch (library extension — the reference masks
+    grayscale only)."""
+    q_cfg, p_cfg, qp, pp, y, r, coords = _setup(channels=3, n_out=3)
+    n = m = 8
+    yg, xg = np.ogrid[:n, :m]
+    dist = np.sqrt((n / 2 - yg) ** 2 + (m / 2 - xg) ** 2)
+    mask = (dist < min(n, m) / 2).ravel().astype(np.float32)
+    ecfg = ElboConfig(likelihood="gaussian", channels=3)
+    elbo, logp, kl, _ = elbo_minibatch(qp, pp, q_cfg, p_cfg, ecfg, coords, y,
+                                       None, noise=r, mask=jnp.asarray(mask))
+    e0, l0, k0 = oracles.elbo_reference(_np(qp), q_cfg, _np(pp), p_cfg, ecfg,
+                                        np.asarray(coords), np.asarray(y),
+                                        np.asarray(r), mask=mask)
+    np.testing.assert_allclose(float(elbo), e0, rtol=1e-4)
+
+
+def test_fold_all_none_raises():
+    """The folded API needs a batch carrier; all-None used to crash with
+    AttributeError deep in the fold."""
+    from spatialvae_tpu.models.spatial import fold_pose_into_first_layer
+
+    p_cfg = SpatialGeneratorConfig(latent_dim=0, hidden_dim=8, num_layers=1)
+    pp = spatial_generator_init(jax.random.PRNGKey(0), p_cfg)
+    with pytest.raises(ValueError, match="batch dimension"):
+        fold_pose_into_first_layer(pp, p_cfg, None, None, None)
+    # the documented escape hatch: a (B, 0) z carries the batch
+    w0, w1, c = fold_pose_into_first_layer(pp, p_cfg, None, None,
+                                           jnp.zeros((3, 0)))
+    assert w0.shape == (3, 8)
 
 
 def test_offset_reinjection_matches_oracle():
