@@ -215,6 +215,13 @@ def _pick_tile(hw: int) -> int:
     return hw
 
 
+def hw_tiles_ok(hw: int) -> bool:
+    """THE pixel-count tiling contract: one definition shared by
+    can_fuse_loss_int8 and parallel.pixel.can_pixel_shard (which applies
+    it per shard) so the two gates cannot drift."""
+    return hw >= 1024 and hw % _pick_tile(hw) == 0
+
+
 def can_fuse_loss_int8(cfg: SpatialGeneratorConfig, hw: int,
                        likelihood: str) -> bool:
     """Bernoulli (galaxy/mnist BCE) and gaussian (particles no-fit-noise,
@@ -232,7 +239,7 @@ def can_fuse_loss_int8(cfg: SpatialGeneratorConfig, hw: int,
     return (not cfg.expand_coords and not cfg.bilinear and not cfg.resid
             and not cfg.softplus
             and cfg.num_layers == 2 and cfg.n_out <= 8
-            and hw >= 1024 and hw % _pick_tile(hw) == 0)
+            and hw_tiles_ok(hw))
 
 
 class _Phases:

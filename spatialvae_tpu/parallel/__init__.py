@@ -6,7 +6,6 @@ from spatialvae_tpu.parallel.pixel import (
 from spatialvae_tpu.parallel.sharding import (
     batch_sharding,
     param_shardings,
-    shard_dataset,
     shard_params,
 )
 
@@ -15,7 +14,6 @@ __all__ = [
     "create_mesh",
     "batch_sharding",
     "param_shardings",
-    "shard_dataset",
     "shard_params",
     "can_pixel_shard",
     "make_pixel_sharded_loss",

@@ -37,8 +37,21 @@ class MeshConfig:
 
 
 def create_mesh(cfg: MeshConfig, devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
     n = cfg.data * cfg.model
+    if devices is None and n == len(jax.devices()):
+        # ICI-topology-aware ordering: on a real TPU slice mesh_utils
+        # aligns the high-traffic 'data' all-reduce axis with ICI rings
+        # (a naive enumeration-order reshape can route gradient
+        # all-reduces across slow links); on CPU/fake devices it falls
+        # back to enumeration order, so tests see the same mesh
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh((cfg.data, cfg.model))
+            return Mesh(arr, axis_names=("data", "model"))
+        except Exception:
+            pass  # unusual topology mesh_utils can't factor — naive order
+    devices = devices if devices is not None else jax.devices()
     assert len(devices) >= n, (
         f"mesh needs {n} devices, have {len(devices)}")
     arr = np.asarray(devices[:n]).reshape(cfg.data, cfg.model)

@@ -36,13 +36,11 @@ from jax.sharding import PartitionSpec as P
 
 
 def can_pixel_shard(hw: int, n_shards: int) -> bool:
-    """Each shard must still satisfy the kernel's tiling contract."""
-    from spatialvae_tpu.kernels.fused_loss_int8 import _pick_tile
+    """Each shard must still satisfy the kernel's tiling contract
+    (hw_tiles_ok — the one shared definition)."""
+    from spatialvae_tpu.kernels.fused_loss_int8 import hw_tiles_ok
 
-    if hw % n_shards:
-        return False
-    shard_hw = hw // n_shards
-    return shard_hw >= 1024 and shard_hw % _pick_tile(shard_hw) == 0
+    return hw % n_shards == 0 and hw_tiles_ok(hw // n_shards)
 
 
 def make_pixel_sharded_loss(p_cfg, mesh, *, axis: str = "model",

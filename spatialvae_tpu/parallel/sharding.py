@@ -17,6 +17,7 @@ the decoder lives in objectives/elbo via ``set_activation_sharding``.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
@@ -67,26 +68,37 @@ def shard_params(params: dict, mesh: Mesh, tp_mode: str = "column") -> dict:
     return jax.device_put(params, param_shardings(params, mesh, tp_mode))
 
 
-def shard_dataset(y, mesh: Mesh, ctf=None):
-    """Shard the in-HBM dataset over the data axis (N divisible not
-    required — GSPMD pads the last shard)."""
-    s = batch_sharding(mesh)
-    y = jax.device_put(y, s)
-    ctf = None if ctf is None else jax.device_put(ctf, s)
-    return y, ctf
-
-
 # --- activation-sharding hook (used by the decoder hot path) ---------------
 
 _ACTIVATION_MESH: Optional[Mesh] = None
 
 
 def set_activation_sharding(mesh: Optional[Mesh]):
-    """Enable pixel-axis sharding constraints inside the decoder.
+    """Set the ambient decoder activation-sharding hook.
 
-    Pass None to disable (single-chip)."""
+    Pass None to disable (single-chip).  This is process-global: with two
+    live trainers on different meshes, prefer ``activation_sharding_scope``
+    around each trace (Trainer._loss does) so they cannot clobber each
+    other."""
     global _ACTIVATION_MESH
     _ACTIVATION_MESH = mesh
+
+
+@contextlib.contextmanager
+def activation_sharding_scope(mesh: Optional[Mesh]):
+    """Pin the decoder activation-sharding hook to ``mesh`` while a trace
+    runs (the body of a jitted function executes at trace time, so this
+    correctly scopes the constraint to the trainer whose step is being
+    traced).  The hook stays a module global because the model apply
+    functions are pure and signature-stable — this scope is what keeps
+    the global from leaking between trainers."""
+    global _ACTIVATION_MESH
+    prev = _ACTIVATION_MESH
+    _ACTIVATION_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACTIVATION_MESH = prev
 
 
 def constrain_decoder_hidden(h: jax.Array) -> jax.Array:
@@ -94,8 +106,9 @@ def constrain_decoder_hidden(h: jax.Array) -> jax.Array:
     P('data', 'model', None) when a mesh is active.
 
     Axes that do not divide evenly by their mesh axis (e.g. a trailing
-    partial batch, or a non-aligned pixel count) are left unsharded —
-    with_sharding_constraint requires exact divisibility."""
+    partial batch, or a non-aligned pixel count) stay UNCONSTRAINED —
+    P(None) would be an explicit REPLICATION constraint, forcing an
+    all-gather of exactly the activation this hook exists to shard."""
     mesh = _ACTIVATION_MESH
     if mesh is None:
         return h
@@ -106,10 +119,15 @@ def constrain_decoder_hidden(h: jax.Array) -> jax.Array:
     if am is not None and any(
             t == jax.sharding.AxisType.Manual for t in am.axis_types):
         return h
-    spec = [None] * h.ndim
+    dims = {}
     if h.shape[0] % mesh.shape["data"] == 0:
-        spec[0] = "data"
+        dims[0] = "data"
     if h.ndim >= 3 and h.shape[1] % mesh.shape["model"] == 0:
-        spec[1] = "model"
+        dims[1] = "model"
+    if not dims:
+        return h
+    spec = [P.UNCONSTRAINED] * h.ndim
+    for i, name in dims.items():
+        spec[i] = name
     return jax.lax.with_sharding_constraint(
         h, NamedSharding(mesh, P(*spec)))

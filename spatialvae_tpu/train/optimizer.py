@@ -42,6 +42,24 @@ def moments_dtype():
             == "bf16" else jnp.float32)
 
 
+def adam_leaf(g, m, v, c1, c2, learning_rate, b1, b2, eps):
+    """One fused-Adam leaf: (update, m', v').
+
+    THE single definition of the Adam numerics (torch/optax equality is
+    tested against this): accept mixed-precision grads directly — the
+    upcast fuses into this single elementwise pass instead of
+    materialising an f32 copy of the gradient tree; f32 moments take
+    exactly the round-1 ops (bit-identical); bf16 moments upcast, compute
+    in f32 and round once on store.  optimizer_pallas's XLA branch reuses
+    this so the op sequence cannot drift between the two engines."""
+    mdt = m.dtype
+    g = g.astype(jnp.float32)
+    m = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+    v = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
+    update = -learning_rate * (m / c1) / (jnp.sqrt(v / c2) + eps)
+    return update, m.astype(mdt), v.astype(mdt)
+
+
 def fused_adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
                eps: float = 1e-8) -> optax.GradientTransformation:
     def init_fn(params):
@@ -60,17 +78,7 @@ def fused_adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
 
         def leaf(g, m, v):
-            # accept mixed-precision grads directly: the upcast fuses into
-            # this single elementwise pass instead of materialising an f32
-            # copy of the gradient tree.  f32 moments take exactly the
-            # round-1 ops (bit-identical); bf16 moments upcast, compute in
-            # f32 and round once on store.
-            mdt = m.dtype
-            g = g.astype(jnp.float32)
-            m = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
-            v = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
-            update = -learning_rate * (m / c1) / (jnp.sqrt(v / c2) + eps)
-            return update, m.astype(mdt), v.astype(mdt)
+            return adam_leaf(g, m, v, c1, c2, learning_rate, b1, b2, eps)
 
         flat_g, treedef = jax.tree_util.tree_flatten(grads)
         flat_m = treedef.flatten_up_to(state.mu)

@@ -156,28 +156,26 @@ def fused_adam_pallas(learning_rate: float, b1: float = 0.9,
         use_kernel = _use_pallas_kernel()
         new_p, new_m, new_v, new_s, new_q = [], [], [], [], []
         for g, m, v, p in zip(flat_g, flat_m, flat_v, flat_p):
-            # the opt-in Pallas kernel writes f32 moment refs; bf16-moment
-            # leaves (SPATIALVAE_ADAM_MOMENTS=bf16) take the XLA path
+            # the opt-in Pallas kernel writes f32 moment AND param refs;
+            # bf16-moment leaves (SPATIALVAE_ADAM_MOMENTS=bf16) and any
+            # non-f32 param leaf take the XLA path — the kernel's f32 p'
+            # output would silently flip the leaf dtype and break the
+            # scan-carry/donation pytree structure
             if (use_kernel and p.ndim == 2 and p.size >= _MIN_KERNEL_ELEMS
-                    and m.dtype == jnp.float32):
+                    and m.dtype == jnp.float32
+                    and p.dtype == jnp.float32):
                 out = _adam_leaf_pallas(
                     g, m, v, p, c12, learning_rate, b1, b2, eps, interpret,
                     shadow_dtype=shadow_dtype)
                 m2, v2, p2 = out[0], out[1], out[2]
                 s2 = out[3] if shadow_dtype is not None else None
             else:
-                # f32 arithmetic regardless of the moment STORAGE dtype
-                # (optimizer.moments_dtype): for f32 moments these casts
-                # are no-ops and the ops are the round-1 sequence
-                # bit-for-bit; bf16 moments round once on store
-                mdt = m.dtype
-                gf = g.astype(jnp.float32)
-                m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
-                v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * (gf * gf)
-                p2 = p + (-learning_rate * (m2 / c1)
-                          / (jnp.sqrt(v2 / c2) + eps))
-                m2 = m2.astype(mdt)
-                v2 = v2.astype(mdt)
+                # the ONE shared Adam leaf definition (optimizer.adam_leaf)
+                from spatialvae_tpu.train.optimizer import adam_leaf
+
+                upd, m2, v2 = adam_leaf(g, m, v, c1, c2, learning_rate,
+                                        b1, b2, eps)
+                p2 = p + upd
                 s2 = (p2.astype(shadow_dtype)
                       if shadow_dtype is not None else None)
             if quant_min_elems is not None:

@@ -303,18 +303,25 @@ class Trainer:
                 imgs = y.reshape(b, n, m)
             y_inf = rotate_images_bicubic(imgs, offsets).reshape(y.shape)
 
-        elbo, log_p, kl, _ = elbo_minibatch(
-            q_params, p_params, self.q_cfg, self.p_cfg, ecfg,
-            coords, y, key,
-            noise=noise,
-            y_inf=y_inf, offsets=offsets, z_scale=z_scale,
-            ctf=None if ctf is None else ctf.astype(cd),
-            mask=self.mask,
-            image_shape=self.tcfg.image_shape,
-            y_t=y_t,
-            q_quant=q_quant,
-            y_q8=y_q8,
-        )
+        from spatialvae_tpu.parallel.sharding import activation_sharding_scope
+
+        # scope the decoder sharding hook to THIS trainer's mesh for the
+        # duration of the trace — two trainers on different meshes in one
+        # process must not clobber each other through the module global
+        # (inside the shard_map SPMD path the hook no-ops regardless)
+        with activation_sharding_scope(self.mesh):
+            elbo, log_p, kl, _ = elbo_minibatch(
+                q_params, p_params, self.q_cfg, self.p_cfg, ecfg,
+                coords, y, key,
+                noise=noise,
+                y_inf=y_inf, offsets=offsets, z_scale=z_scale,
+                ctf=None if ctf is None else ctf.astype(cd),
+                mask=self.mask,
+                image_shape=self.tcfg.image_shape,
+                y_t=y_t,
+                q_quant=q_quant,
+                y_q8=y_q8,
+            )
         loss = -elbo.astype(jnp.float32)
         aux = jnp.stack([elbo.astype(jnp.float32),
                          -log_p.astype(jnp.float32),

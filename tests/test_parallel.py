@@ -153,6 +153,50 @@ def test_entry_compiles():
     assert np.isfinite(float(loss))
 
 
+def test_constrain_hidden_non_divisible_axes():
+    """Axes that don't divide their mesh axis must stay UNCONSTRAINED —
+    P(None) would be an explicit replication constraint (an all-gather of
+    the very activation the hook shards).  When NO axis divides, the
+    array must come back untouched."""
+    from spatialvae_tpu.parallel.sharding import (
+        activation_sharding_scope,
+        constrain_decoder_hidden,
+    )
+
+    mesh = create_mesh(MeshConfig(data=4, model=2))
+    h = jnp.ones((6, 10, 3))        # 6 % 4 != 0, 10 % 2 == 0
+    with activation_sharding_scope(mesh):
+        out = constrain_decoder_hidden(h)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(h))
+        h2 = jnp.ones((6, 9, 3))    # nothing divides -> identity object
+        assert constrain_decoder_hidden(h2) is h2
+
+
+def test_activation_sharding_scope_restores():
+    """The trace-time scope pins the hook to one trainer's mesh and
+    restores the ambient value afterwards (two trainers in one process
+    must not clobber each other)."""
+    from spatialvae_tpu.parallel.sharding import (
+        _ACTIVATION_MESH,  # noqa: F401 - imported for the module handle
+        activation_sharding_scope,
+        constrain_decoder_hidden,
+        set_activation_sharding,
+    )
+
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    set_activation_sharding(mesh)
+    try:
+        h = jnp.ones((8, 4, 3))
+        with activation_sharding_scope(None):
+            # a single-chip trainer's trace sees NO constraint even though
+            # the ambient hook holds another trainer's mesh
+            assert constrain_decoder_hidden(h) is h
+        from spatialvae_tpu.parallel import sharding as sh
+        assert sh._ACTIVATION_MESH is mesh   # restored
+    finally:
+        set_activation_sharding(None)
+
+
 def test_resume_under_mesh_reshards(tmp_path):
     """maybe_resume must re-place loaded (host numpy) checkpoints with the
     trainer's mesh layout — a TP resume used to silently replicate the q
