@@ -18,6 +18,19 @@ and the cast cost is part of the measurement.
 Usage: python tools/probe_xla_int4.py [b=4096] [n=12288] [h=5000] [iters=30]
 (tiny-shape CPU smoke: python tools/probe_xla_int4.py cpu=1 \
  b=64 n=128 h=128 iters=2)
+
+MEASURED (v5e, 2026-08-19, b=4096):
+  w1-i8 1.399 ms (~int8 MXU peak)   w1-i4cast 2.256   w1-i8xi4 2.623
+  w1-bf16 2.519                      w2-i8 0.334       w2-i4cast 0.515
+  dw1-i8(0,0) 0.929                  dw1-i4(0,0) 2.429
+  dx-i8(1,1) 0.496                   dx-i4(1,1) 0.347  <- only int4 win
+  int4 HBM arrays materialize OK as jit OUTPUTS, but feeding one back in
+  as a jit ARGUMENT hits a plugin RecursionError — int4 weights cannot be
+  Adam-emitted and stored like the int8 qshadow copies.
+VERDICT: XLA int4 is a NET LOSS for the encoder — the in-graph int8->int4
+cast costs more than the MXU saves everywhere except the (1,1) dx
+backward (~0.15 ms/step at B=4096, and dx is only needed for the decoder
+cotangent path which the fused kernel already owns).  Encoder stays int8.
 """
 
 from __future__ import annotations
@@ -40,29 +53,50 @@ def scan_time(name, fn, args, iters, per_img=4096):
     jit ARGUMENTS (closed-over jax.Arrays embed as compile-time constants —
     see the round-4 48-min-compile gotcha)."""
 
-    def run_fn(*ops):
+    def run_fn(zero, *ops):
+        # Two elimination traps, both hit on the first TPU runs of this
+        # probe (0.002 ms/iter = 2.5e17 FLOP/s):
+        #  1. a literal `* 0` constant-folds and the dot DCEs — `zero` is
+        #     a RUNTIME f32 argument holding 0.0;
+        #  2. a dot consumed ONLY by a full reduce-sum gets algebraically
+        #     rewritten to (colsum A) @ (rowsum B) — O(BNH) -> O(NH).
+        #     max() cannot be pushed through a dot, so consume with max.
         def body(carry, _):
             out = fn(carry, *ops[1:])
-            bump = (jnp.sum(out.astype(jnp.float32)) * 0
+            bump = (jnp.max(out.astype(jnp.float32)) * zero
                     ).astype(carry.dtype)
             return carry + bump, ()
 
         return jax.lax.scan(body, ops[0], None, length=iters)[0]
 
     run = jax.jit(run_fn)
+    zero = jnp.float32(0.0)
+    args = (zero,) + tuple(args)
+
+    def sync(arr):
+        # block_until_ready does NOT wait for execution under the axon
+        # tunnel for these programs (measured: 0.1 ms "total" for a 90 ms
+        # scan) — only a real device->host readback synchronizes.  Slice
+        # a scalar so the transfer itself is tiny.
+        return float(jnp.max(arr[:1, :1]).astype(jnp.float32))
+
     try:
-        r = run(*args)
-        r.block_until_ready()
+        sync(run(*args))          # remote compile + first exec
+        sync(run(*args))          # warm steady-state
     except Exception as e:  # noqa: BLE001 — probe tool, report and move on
         print(f"{name:16s} FAILED: {type(e).__name__}: {str(e)[:240]}",
               flush=True)
         return None
+    # calibrate dispatch+readback overhead on an already-ready array
     t0 = time.perf_counter()
-    r = run(*args)
-    r.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    sync(args[1])
+    overhead = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sync(run(*args))
+    dt = max(time.perf_counter() - t0 - overhead, 1e-9) / iters
     print(f"{name:16s} {dt * 1e3:7.3f} ms/iter "
-          f"({per_img / dt:9.0f} img-equiv/s)", flush=True)
+          f"({per_img / dt:9.0f} img-equiv/s)  [ovh {overhead*1e3:.1f} ms]",
+          flush=True)
     return dt
 
 
