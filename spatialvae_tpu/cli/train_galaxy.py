@@ -239,6 +239,9 @@ def run(args):
                            learning_rate=args.learning_rate,
                            num_epochs=num_epochs, z_delay=args.z_delay,
                            augment_rotation=args.augment_rotation,
+                           # the reference's float->uint8->PIL->float
+                           # augmentation round-trip (train_galaxy.py:47-54)
+                           augment_uint8=True,
                            seed=args.seed, compute_dtype=args.compute_dtype,
                            image_shape=(n, m), channels=channels)
         trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mesh=mesh,

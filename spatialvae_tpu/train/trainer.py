@@ -54,6 +54,13 @@ class TrainConfig:
     num_epochs: int = 100
     z_delay: int = 0
     augment_rotation: bool = False
+    # galaxy quirk (train_galaxy.py:47-54): the reference rotates a
+    # float->uint8 PIL view and divides back by 255, so the inference net
+    # sees an augmented image quantised to the /255 grid.  When set, the
+    # rotated view is rounded onto that grid (clip to [0,1] like PIL's
+    # uint8 store); the input is real /255-grid data so the reference's
+    # pre-rotation uint8 cast is already exact.
+    augment_uint8: bool = False
     seed: int = 0
     compute_dtype: str = "float32"          # 'float32' | 'bfloat16'
     image_shape: Optional[Tuple[int, int]] = None   # (n, m)
@@ -302,6 +309,13 @@ class Trainer:
             else:
                 imgs = y.reshape(b, n, m)
             y_inf = rotate_images_bicubic(imgs, offsets).reshape(y.shape)
+            if self.tcfg.augment_uint8:
+                # /255-grid quantisation of the rotated view (see
+                # TrainConfig.augment_uint8); rounding in f32 — the bf16
+                # compute dtype cannot represent the grid
+                y_inf = (jnp.round(jnp.clip(y_inf.astype(jnp.float32),
+                                            0.0, 1.0) * 255.0)
+                         / 255.0).astype(y.dtype)
 
         from spatialvae_tpu.parallel.sharding import activation_sharding_scope
 

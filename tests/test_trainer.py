@@ -15,14 +15,15 @@ from spatialvae_tpu.transforms.coords import coord_grid
 
 
 def _trainer(n=8, batch=16, compute_dtype="float32", augment=False,
-             seed=0, z_delay=0):
+             seed=0, z_delay=0, augment_uint8=False):
     q_cfg = InferenceConfig(n=n * n, latent_dim=5, hidden_dim=16,
                             num_layers=2)
     p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, num_layers=2)
     ecfg = ElboConfig(likelihood="bernoulli", theta_prior=np.pi)
     tcfg = TrainConfig(minibatch_size=batch, num_epochs=2, seed=seed,
                        compute_dtype=compute_dtype, image_shape=(n, n),
-                       augment_rotation=augment, z_delay=z_delay)
+                       augment_rotation=augment, z_delay=z_delay,
+                       augment_uint8=augment_uint8)
     return Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, n))
 
 
@@ -95,6 +96,38 @@ def test_augmented_training_runs():
     data = ArrayDataset(jnp.asarray(rng.rand(48, 64).astype(np.float32)))
     elbo, gen, kl = t.train_epoch(data, 0, progress=False)
     assert np.isfinite(elbo)
+
+
+def test_galaxy_uint8_augment_quantises_view(monkeypatch):
+    """The galaxy trainer's augmented inference view sits exactly on the
+    /255 grid (the reference rotates a float->uint8 PIL view and divides
+    back by 255, train_galaxy.py:47-54); without augment_uint8 the rotated
+    floats are off-grid."""
+    import spatialvae_tpu.train.trainer as trainer_mod
+
+    captured = {}
+    real = trainer_mod.elbo_minibatch
+
+    def spy(*args, **kw):
+        captured["y_inf"] = kw.get("y_inf")
+        return real(*args, **kw)
+
+    monkeypatch.setattr(trainer_mod, "elbo_minibatch", spy)
+    rng = np.random.RandomState(5)
+    y = jnp.asarray(
+        np.round(rng.rand(16, 64).astype(np.float32) * 255.0) / 255.0)
+    key = jax.random.PRNGKey(0)
+
+    t = _trainer(augment=True, augment_uint8=True)
+    t._loss(t.state.params, y, None, key, 1.0)
+    v = np.asarray(captured["y_inf"], np.float64) * 255.0
+    np.testing.assert_allclose(v, np.round(v), atol=1e-3)
+    assert v.min() >= 0.0 and v.max() <= 255.0
+
+    t2 = _trainer(augment=True)
+    t2._loss(t2.state.params, y, None, key, 1.0)
+    v2 = np.asarray(captured["y_inf"], np.float64) * 255.0
+    assert np.abs(v2 - np.round(v2)).max() > 1e-3   # pin isn't vacuous
 
 
 def test_eval_never_augments():
