@@ -21,6 +21,11 @@ import time
 import numpy as np
 
 
+# measurement entry point: off-default kernel knobs are allowed
+from spatialvae_tpu.kernels.config import allow_knobs
+allow_knobs()
+
+
 def run_bench(batch: int, fused: bool, epochs: int = 3,
               steps_per_epoch: int = 16, int8: bool = False,
               config: str = "galaxy") -> float:

@@ -39,7 +39,6 @@ expand_coords/bilinear — those make the first layer nonlinear in x) with
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +53,9 @@ def _interpret() -> bool:
     CPU mesh tests/dryruns — pltpu.force_tpu_interpret_mode around
     shard_map livelocks in the Mosaic interpreter's device-barrier clocks
     (CLAUDE.md), so the dryrun sets this env hook instead."""
-    return os.environ.get("SPATIALVAE_INTERPRET") == "1"
+    from spatialvae_tpu.kernels.config import KernelConfig
+
+    return KernelConfig.from_env().interpret
 
 
 def can_fuse_decoder(cfg: SpatialGeneratorConfig, hw: int) -> bool:

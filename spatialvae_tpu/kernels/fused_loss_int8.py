@@ -46,7 +46,6 @@ train_galaxy.py:27-128 (BCE x channels) + train_particles.py:126-139
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spatialvae_tpu.core.config import SpatialGeneratorConfig
+from spatialvae_tpu.kernels.config import KernelConfig
 from spatialvae_tpu.kernels.fused_decoder_int8 import _quant_sym
 
 
@@ -73,6 +73,11 @@ def _quant_sym4(w: jnp.ndarray):
     return q, s.reshape(1, -1).astype(jnp.float32)
 
 
+# KNOB DEFAULTS LIVE IN kernels/config.py (KernelConfig — the one frozen
+# source; env overrides are resolved there and numerics-changing ones are
+# rejected at trainer entry unless SPATIALVAE_ALLOW_KNOBS=1).  The
+# measurement record below explains WHY each default is what it is.
+#
 # gradient-GEMM precision ('da0_i4' | 'i8' | 'i4fwd') and first-layer build
 # engine, overridable via SPATIALVAE_INT4_GRADS / SPATIALVAE_MXU_BUILD for
 # on-chip A/B measurement (tools/kernel_bench.py, tools/int8_horizon.py).
@@ -96,8 +101,6 @@ def _quant_sym4(w: jnp.ndarray):
 # gradient copy at all (the single int4 tile feeds da0 and, transposed,
 # dw1), and bound+i4dw1 measured 42.03 vs 46.70 ms — the round-3 default
 # pair (same horizon gates re-run, recorded in BASELINE.md).
-_GRAD_MODE_DEFAULT = "i4dw1"
-_MXU_BUILD_DEFAULT = False
 # images per grid step (SPATIALVAE_PIPE_IMGS).  Measured at B=2048, pt=1024
 # under the round-2 'tile' gradient scale: depth 2 = 51.2 ms, 4 = 48.4,
 # 8 = 55.8 (VMEM pressure breaks Mosaic's block double-buffering).  Under
@@ -105,7 +108,6 @@ _MXU_BUILD_DEFAULT = False
 # dh1/da1-bf16/int8-q materialisations), and the ranking flips: depth
 # 8 = 40.3 ms vs depth 4 = 42.0 — deeper stagger now fits VMEM and buys
 # more MXU/VPU overlap.  Re-sweep after any change to the p4-p6 transients.
-_PIPE_IMGS_DEFAULT = "8"
 # tanh engine for the two in-kernel activation sites (SPATIALVAE_TANH):
 # 'exact' = jnp.tanh; 'pade' = clamped Padé(5,4) with an approximate VPU
 # reciprocal.  MEASURED: pade is much SLOWER (63.2 vs 48.5 ms at B=2048)
@@ -113,14 +115,12 @@ _PIPE_IMGS_DEFAULT = "8"
 # ~9-op rational chain triples the activation cost.  Conclusion recorded
 # because it localises the kernel's VPU exposure to the SIMPLE passes
 # (builds/FMAs/quant chains/casts), not the transcendentals.
-_TANH_MODE_DEFAULT = "exact"
 # epilogue elementwise dtype (SPATIALVAE_EPI): 'bf16' keeps the round-2
 # behaviour (da1/dh1/dh0 chains in bf16); 'f32' keeps the p5/p7 chains in
 # f32 with bf16 only at the MXU-operand boundaries — motivated by the
 # round-2 finding that Mosaic's bf16 elementwise is SLOWER than f32
 # (repacking overhead), which was measured for build/p1 but never for the
 # epilogue.  f32 also drops the bf16 quant-scale dance (exact f32 scale).
-_EPI_DEFAULT = "bf16"
 # gradient-quant scale engine (SPATIALVAE_GSCALE):
 #   'tile'  — round-2 behaviour: per-tile max|dh1| (one abs+max reduce pass
 #             plus a separate scale/round pass over every (Pt, H) tile).
@@ -147,7 +147,6 @@ _EPI_DEFAULT = "bf16"
 #             the f32 accumulator, do not cast up a bf16 copy).
 #             i4-family grad modes only (i8 and da0_i4 carry w1's
 #             per-tensor scale in sw).
-_GSCALE_DEFAULT = "bound"
 # int8 hidden activation a1 (SPATIALVAE_A1Q): quantize a1 with the STATIC
 # tanh scale (|a1| <= 1 -> scale 127) so the head forward GEMM, dwht and
 # da1 all run int8 and every consumer of the (Pt, H) a1 tile reads int8
@@ -165,13 +164,11 @@ _GSCALE_DEFAULT = "bound"
 # (1,0) dwht) plus the K=3 (0,0) int8 da1 forces whole-tile relayouts
 # that swamp the VPU byte saving.  Kept default-off for future Mosaic
 # releases; interpret-mode parity pinned in tests/test_kernels_int8.py.
-_A1Q_DEFAULT = "0"
 # stochastic rounding default (SPATIALVAE_SR); see _lossgrad_pallas.
 # NOTE: pltpu.stochastic_round only targets float dtypes (bf16/fp8) in
 # this runtime, so integer SR is implemented manually as floor(x + u)
 # with a PRNG-derived uniform — ~3 extra VPU ops per quant site, so SR is
 # a QUALITY lever (unbiased int4 rounding), not a speed one.
-_SR_DEFAULT = "0"
 
 
 def _sr_int(x, rbits, lo, hi):
@@ -203,12 +200,11 @@ def _tanh_pade(x):
 
 def _pick_tile(hw: int) -> int:
     # pt=1024 measured marginally faster than 2048 (56.30 vs 56.95 ms at
-    # B=2048) and keeps the working set lean
-    pt_env = os.environ.get("SPATIALVAE_LOSS_TILE")
-    # ignore non-positive/non-divisor requests (same tolerance as
-    # SPATIALVAE_PIPE_IMGS) instead of ZeroDivisionError on a typo'd 0
-    if pt_env and int(pt_env) > 0 and hw % int(pt_env) == 0:
-        return int(pt_env)
+    # B=2048) and keeps the working set lean; non-divisor requests are
+    # ignored (KernelConfig.from_env already drops non-positive ones)
+    req = KernelConfig.from_env().loss_tile
+    if req is not None and hw % req == 0:
+        return req
     for t in (1024, 512, 256):
         if hw % t == 0:
             return t
@@ -250,7 +246,8 @@ class _Phases:
                  bht_ref, yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4,
                  grad_mode, tanh_fn=jnp.tanh, rbits=None, epi="bf16",
                  gscale="tile", a1q=False, family="bernoulli",
-                 mask_ref=None):
+                 mask_ref=None, db1_mode="chain"):
+        self.db1_mode = db1_mode  # 'chain' | 'qi' (see kernels/config.py)
         self.tanh = tanh_fn
         self.rbits = rbits      # (Pt, H) uint32: stochastic-round bits
         self.epi = epi          # epilogue elementwise dtype mode
@@ -480,7 +477,7 @@ class _Phases:
         # B=2048) — Mosaic already streams q's chain into both consumers
         # in one pass, so the "saved" recompute was free and the extra
         # int8 read+widen was pure cost.  Keep the exact pre-round sum.
-        db1_from_qi = os.environ.get("SPATIALVAE_DB1", "chain") == "qi"
+        db1_from_qi = self.db1_mode == "qi"
         if not db1_from_qi:
             self.db1 = jnp.sum(q, axis=0, keepdims=True) * self.sg
         if self.rbits is not None:
@@ -605,7 +602,8 @@ class _Phases:
 def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
             b1_ref, wht_ref, bht_ref, yt_ref, *refs, i4, grad_mode,
             mxu_build, n_img, tanh_fn=jnp.tanh, use_sr=False, epi="bf16",
-            gscale="tile", a1q=False, family="bernoulli", has_mask=False):
+            gscale="tile", a1q=False, family="bernoulli", has_mask=False,
+            db1_mode="chain", phase_cut=8):
     """Grid (B//n_img, tiles): n_img images x one pixel tile per step.
 
     Straight-line body (no control flow until the accumulator writes) so
@@ -721,7 +719,8 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
         _Phases(r, aq, acc, sw_ref, h1s_ref, b1_ref, wht_ref, bht_ref,
                 yt_ref, w1q_ref, w4s, s4_ref, x3_ref, i4, grad_mode,
                 tanh_fn=tanh_fn, rbits=rbits_g, epi=epi, gscale=gscale,
-                a1q=a1q, family=family, mask_ref=mask_ref)
+                a1q=a1q, family=family, mask_ref=mask_ref,
+                db1_mode=db1_mode)
         for r, (aq, acc) in enumerate(built)
     ]
     seq = ("p1_h1a1", "p2_head", "p3_bce", "p4_headbwd", "p5_dh1",
@@ -732,7 +731,7 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
     # cut=6 drops the da0 GEMM because only p7 consumes it.  Measured
     # ladder at B=2048/n4/pt1024: cut3=17.8, cut5=25.0, cut6=38.7,
     # full=48.3 — additive at probe GEMM rates, VPU+stalls ~16 ms.
-    cut = int(os.environ.get("SPATIALVAE_PHASE_CUT", "8"))
+    cut = phase_cut
     seq = seq[:cut]
     for t in range(len(seq) + n_img - 1):
         for r in range(n_img):
@@ -800,41 +799,39 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t, mask=None,
     # pipeline depth: how many images share one grid step (halves the
     # per-grid-step overhead again at 4 and gives the scheduler more
     # independent work to cover MXU->VPU dependency stalls)
-    req = int(os.environ.get("SPATIALVAE_PIPE_IMGS", _PIPE_IMGS_DEFAULT))
-    if req < 1:
-        req = int(_PIPE_IMGS_DEFAULT)
+    # ALL knobs resolve through the one frozen KernelConfig (defaults =
+    # the measured plateau; env overrides validated in kernels/config.py)
+    kcfg = KernelConfig.from_env()
+    req = kcfg.pipe_imgs
     # largest power-of-2 divisor of b that is <= the request (a raw
     # non-divisor like 6 must not silently collapse to depth 1)
     n_img = 1
     while n_img * 2 <= req and b % (n_img * 2) == 0:
         n_img *= 2
-    grad_mode = os.environ.get("SPATIALVAE_INT4_GRADS", _GRAD_MODE_DEFAULT)
+    grad_mode = kcfg.grad_mode
     # SPATIALVAE_INTERPRET=1: force the per-call interpret path (plain XLA
     # lowering of the kernel body).  Tests use this instead of
     # pltpu.force_tpu_interpret_mode around shard_map — the full Mosaic
     # interpreter's cross-device barrier clocks crawl/livelock with 8
     # virtual devices, while per-call interpret stays fast.
-    interpret = interpret or os.environ.get("SPATIALVAE_INTERPRET") == "1"
+    interpret = interpret or kcfg.interpret
 
     # gradient-quant scale engine; 'bound' needs the sw slot free, so it
     # is restricted to the modes whose sw is otherwise unused ('i8' and
     # 'da0_i4' carry w1's per-tensor scale there)
-    gscale = os.environ.get("SPATIALVAE_GSCALE", _GSCALE_DEFAULT)
+    gscale = kcfg.gscale
     if grad_mode not in ("i4fwd", "i4dw1"):
         gscale = "tile"
 
     # epilogue elementwise dtype, resolved ONCE — the a1q gate below and
     # the kernel both consume this value, so the two can never disagree
-    # (an env re-read at the gate could silently enable the untested
-    # a1q + f32-epilogue combination if epi ever gains a non-env default)
-    epi = os.environ.get("SPATIALVAE_EPI", _EPI_DEFAULT)
+    epi = kcfg.epi
 
     # int8 a1 (SPATIALVAE_A1Q): the hidden activation is quantized with
     # the static tanh scale so the head fwd GEMM, dwht and da1 run int8
     # and all three consumers of the (Pt, H) a1 tile read half the bytes.
     # Only wired for the bound-gscale bf16-epilogue i4 stack (the default).
-    a1q = (os.environ.get("SPATIALVAE_A1Q", _A1Q_DEFAULT) == "1"
-           and gscale == "bound" and epi != "f32")
+    a1q = kcfg.a1q and gscale == "bound" and epi != "f32"
 
     f32 = jnp.float32
     swht = None
@@ -906,19 +903,16 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t, mask=None,
     # int8 containers are bit-identical (values in [-7, 7], i32 acc).
     use_i4 = not interpret and jax.default_backend() == "tpu"
     i4 = jnp.int4 if use_i4 else jnp.int8
-    mxu_build = os.environ.get("SPATIALVAE_MXU_BUILD",
-                               "1" if _MXU_BUILD_DEFAULT else "0") == "1"
-    tanh_mode = os.environ.get("SPATIALVAE_TANH", _TANH_MODE_DEFAULT)
+    mxu_build = kcfg.mxu_build
     # interpret mode keeps exact tanh: the approx reciprocal has no
     # interpreter lowering guarantee and tests compare against jnp.tanh
-    tanh_fn = (_tanh_pade if tanh_mode == "pade" and not interpret
+    tanh_fn = (_tanh_pade if kcfg.tanh == "pade" and not interpret
                else jnp.tanh)
     # stochastic rounding of the quant sites (SPATIALVAE_SR=1): unbiased
     # int4/int8 rounding via manual floor(x+u) — a QUALITY lever for the
     # int4 forward, costing ~3 extra VPU ops per site (see _sr_int); off
     # under interpret (tests need deterministic round-to-nearest)
-    use_sr = (os.environ.get("SPATIALVAE_SR", _SR_DEFAULT) == "1"
-              and use_i4)
+    use_sr = kcfg.sr and use_i4
     in_specs = [
         pl.BlockSpec((pt, 4), lambda i, j: (j, 0), memory_space=vm),
         pl.BlockSpec((n_img, 4, h), lambda i, j: (i, 0, 0),
@@ -948,7 +942,8 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t, mask=None,
                           mxu_build=mxu_build, n_img=n_img,
                           tanh_fn=tanh_fn, use_sr=use_sr, epi=epi,
                           gscale=gscale, a1q=a1q, family=family,
-                          has_mask=has_mask),
+                          has_mask=has_mask, db1_mode=kcfg.db1,
+                          phase_cut=kcfg.phase_cut),
         grid=(b // n_img, tiles),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -959,10 +954,10 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t, mask=None,
         # n_img=4 figure was measured at 80 MB; starving the scheduler of
         # scoped VMEM (42 MB) costs >10 ms in lost double-buffering.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(os.environ.get(
-                "SPATIALVAE_VMEM_OVERRIDE",
-                40 if n_img <= 2 else (80 if pt <= 1024 else 112)
-            )) * 1024 * 1024),
+            vmem_limit_bytes=(
+                kcfg.vmem_override_mb if kcfg.vmem_override_mb is not None
+                else (40 if n_img <= 2 else (80 if pt <= 1024 else 112))
+            ) * 1024 * 1024),
         interpret=interpret,
     )(*operands)
 

@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -47,17 +46,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spatialvae_tpu.core.config import SpatialGeneratorConfig
 from spatialvae_tpu.kernels.fused_decoder_int8 import _quant_sym
+from spatialvae_tpu.kernels.config import KernelConfig
 from spatialvae_tpu.kernels.fused_loss_int8 import (
     _pick_tile,
     _quant_sym4,
 )
 
-# the t-kernel pins its OWN pipeline-depth default: its recorded numbers
-# (59.2/52.7 ms, round 2) are depth-4, and it has the largest per-image
-# transients of the family — inheriting the row kernel's depth-8 default
-# (flipped in round 3 for the smaller bound-gscale transient set) would
-# silently A/B an unmeasured, likely VMEM-starved configuration
-_PIPE_IMGS_DEFAULT_T = "4"
+# knob defaults live in kernels/config.py (KernelConfig.pipe_imgs_t — the
+# t-kernel pins its OWN depth-4 default; .grad_mode_t)
 
 # the engineered pad-row activation: tanh(h0) = 1/7 exactly, so the int4
 # quantisation rounds to 1 and the int8 one to 18 (both nonzero, both
@@ -66,8 +62,6 @@ _PAD_A0 = 1.0 / 7.0
 _PAD_H0 = math.atanh(_PAD_A0)
 _K4 = 1.0          # round(_PAD_A0 * 7)
 _K8 = 18.0         # round(_PAD_A0 * 127)
-
-_GRAD_MODE_DEFAULT = "i4"
 
 
 class _PhasesT:
@@ -276,16 +270,15 @@ def _lossgrad_pallas_t(foldT, coords, w1, b1, wht, bht, y_t,
     # on every feature-major op; +1 guarantees room for the db1 row
     hp = ((h + 1 + 31) // 32) * 32
     assert b % 2 == 0, "fused loss kernel processes even batches"
-    req = int(os.environ.get("SPATIALVAE_PIPE_IMGS", _PIPE_IMGS_DEFAULT_T))
-    if req < 1:
-        req = int(_PIPE_IMGS_DEFAULT_T)
+    kcfg = KernelConfig.from_env()
+    req = kcfg.pipe_imgs_t
     # largest power-of-2 divisor of b <= the request (same fallback rule
     # as the row kernel — a non-divisor like 6 must not collapse to 1)
     n_img = 1
     while n_img * 2 <= req and b % (n_img * 2) == 0:
         n_img *= 2
 
-    grad_mode = os.environ.get("SPATIALVAE_INT4_GRADS_T", _GRAD_MODE_DEFAULT)
+    grad_mode = kcfg.grad_mode_t
     use_i4 = not interpret and jax.default_backend() == "tpu"
     i4 = jnp.int4 if use_i4 else jnp.int8
 

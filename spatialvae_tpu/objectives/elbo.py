@@ -214,8 +214,8 @@ def elbo_minibatch(
     # colored (--fit-noise) family and CTF runs take the XLA path below
     if (not want_y_hat and ctf is None
             and fused_loss_active(ecfg, p_cfg, coords.shape[0], b)):
-        import os
-        if (os.environ.get("SPATIALVAE_LOSS_LAYOUT", "row") == "t"
+        from spatialvae_tpu.kernels.config import KernelConfig
+        if (KernelConfig.from_env().layout == "t"
                 and ecfg.likelihood == "bernoulli" and mask is None
                 and (y_t is None or y_t.dtype != jnp.int8)):
             # (the _t experiment predates int8 /255-grid targets and the

@@ -220,6 +220,11 @@ class Trainer:
                  mask: Optional[jnp.ndarray] = None,
                  param_dtype=jnp.float32, mesh=None,
                  tp_mode: str = "column"):
+        # a stray SPATIALVAE_* env var must not silently alter training
+        # numerics — measurement levers are for tools/bench.py only
+        from spatialvae_tpu.kernels.config import check_numerics_default
+
+        check_numerics_default()
         self.q_cfg = q_cfg
         self.p_cfg = p_cfg
         self.ecfg = ecfg

@@ -10,6 +10,10 @@ Run: python tools/ablate.py
 import sys
 
 sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+# measurement entry point: off-default kernel knobs are allowed
+from spatialvae_tpu.kernels.config import allow_knobs
+allow_knobs()
 import time
 
 import numpy as np

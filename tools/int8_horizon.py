@@ -20,6 +20,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# measurement entry point: off-default kernel knobs are allowed
+from spatialvae_tpu.kernels.config import allow_knobs
+allow_knobs()
+
 import numpy as np
 
 

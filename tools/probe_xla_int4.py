@@ -41,6 +41,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# measurement entry point: off-default kernel knobs are allowed
+from spatialvae_tpu.kernels.config import allow_knobs
+allow_knobs()
+
 import jax
 import jax.numpy as jnp
 
@@ -48,10 +52,12 @@ N, H = 12288, 5000
 
 
 def scan_time(name, fn, args, iters, per_img=4096):
-    """Scan-amortized timing; the full output feeds a sum so neither XLA's
-    slice-through-dot simplifier nor DCE can narrow the GEMM.  Operands are
-    jit ARGUMENTS (closed-over jax.Arrays embed as compile-time constants —
-    see the round-4 48-min-compile gotcha)."""
+    """Scan-amortized timing; the output feeds a MAX (a sum-consumed dot
+    is algebraically rewritten to (colsum A) @ (rowsum B) — the exact trap
+    the body comment documents) scaled by a RUNTIME zero argument so
+    constant folding cannot DCE the GEMM.  Operands are jit ARGUMENTS
+    (closed-over jax.Arrays embed as compile-time constants — see the
+    round-4 48-min-compile gotcha)."""
 
     def run_fn(zero, *ops):
         # Two elimination traps, both hit on the first TPU runs of this
@@ -87,13 +93,20 @@ def scan_time(name, fn, args, iters, per_img=4096):
         print(f"{name:16s} FAILED: {type(e).__name__}: {str(e)[:240]}",
               flush=True)
         return None
-    # calibrate dispatch+readback overhead on an already-ready array
-    t0 = time.perf_counter()
-    sync(args[1])
-    overhead = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sync(run(*args))
-    dt = max(time.perf_counter() - t0 - overhead, 1e-9) / iters
+    # calibrate dispatch+readback overhead on an already-ready array and
+    # time the scan — min-of-k for both, so the ~10 ms/call tunnel jitter
+    # (observed ovh spread 25-40 ms) cannot shift these ~1 ms/iter GEMM
+    # numbers by several percent
+    def min_of(k, thunk):
+        best = float("inf")
+        for _ in range(k):
+            t0 = time.perf_counter()
+            thunk()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    overhead = min_of(3, lambda: sync(args[1]))
+    dt = max(min_of(3, lambda: sync(run(*args))) - overhead, 1e-9) / iters
     print(f"{name:16s} {dt * 1e3:7.3f} ms/iter "
           f"({per_img / dt:9.0f} img-equiv/s)  [ovh {overhead*1e3:.1f} ms]",
           flush=True)
