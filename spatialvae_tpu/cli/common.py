@@ -213,9 +213,16 @@ def maybe_resume(trainer, args) -> int:
         # would silently replace the shard_params-placed tree with
         # replicated copies (a TP resume would replicate the q first
         # layer).  Re-apply the same layout the trainer's init used.
-        from spatialvae_tpu.parallel.sharding import shard_params
+        from spatialvae_tpu.parallel.sharding import replicated, shard_params
 
-        params = shard_params(params, trainer.mesh, trainer.tp_mode)
+        if getattr(trainer, "_spmd_pixel", False):
+            # the pixel-sharded shard_map step keeps params replicated
+            # (trainer.__init__ does the same at init)
+            import jax
+
+            params = jax.device_put(params, replicated(trainer.mesh))
+        else:
+            params = shard_params(params, trainer.mesh, trainer.tp_mode)
     start_epoch = 0
     if getattr(args, "resume_optimizer", None):
         opt_state, epoch = load_optimizer(args.resume_optimizer)

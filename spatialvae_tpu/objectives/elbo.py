@@ -149,11 +149,21 @@ def elbo_minibatch(
     y_t: Optional[jnp.ndarray] = None,    # (B, C, HW) pre-transposed targets
     q_quant=None,                         # per-layer int8 encoder weights
     y_q8=None,                            # (xq (B, n) int8, sx) data batch
+    pixel_axis: Optional[str] = None,     # shard_map mesh axis sharding HW
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (elbo, log_p_x_g_z, kl_div, y_hat) — scalars except y_hat.
 
     y_hat is None on the int8 fused-loss fast path (training/eval need only
-    the scalars; pass want_y_hat=True to force the decoding path)."""
+    the scalars; pass want_y_hat=True to force the decoding path).
+
+    ``pixel_axis`` (SURVEY §5.7, callable ONLY inside a shard_map over that
+    mesh axis): coords/y_t/mask are this device's HW tile; the fused-loss
+    partial is psum'd over the axis so the returned elbo/log_p/kl VALUES
+    are the full-image quantities on every device, while the elbo's
+    GRADIENT stays each device's local contribution (the psum transpose
+    passes the replicated cotangent straight to the local partial, and the
+    replicated-KL grad is scaled to kl/n via a stop_gradient identity) —
+    the caller completes it with psum(grads, pixel_axis)."""
     b = y.shape[0]
     if y_inf is None:
         y_inf = y
@@ -212,10 +222,19 @@ def elbo_minibatch(
     # Covers bernoulli (BCE) and gaussian (particles half-sum-of-squares,
     # train_particles.py:139) with an optional pixel mask (:126-133); the
     # colored (--fit-noise) family and CTF runs take the XLA path below
-    if (not want_y_hat and ctf is None
-            and fused_loss_active(ecfg, p_cfg, coords.shape[0], b)):
+    fused_loss_path = (not want_y_hat and ctf is None
+                       and fused_loss_active(ecfg, p_cfg, coords.shape[0],
+                                             b))
+    if pixel_axis is not None and (not fused_loss_path or y_t is None):
+        raise ValueError(
+            "pixel_axis requires the fused int8 loss-kernel path with "
+            "pre-transposed y_t tiles (the trainer gates pixel-sharded "
+            "steps on fused_loss_active for the per-shard shapes; y is "
+            "the full image here, so the kernel must not rebuild y_t "
+            "from it)")
+    if fused_loss_path:
         from spatialvae_tpu.kernels.config import KernelConfig
-        if (KernelConfig.from_env().layout == "t"
+        if (KernelConfig.from_env().layout == "t" and pixel_axis is None
                 and ecfg.likelihood == "bernoulli" and mask is None
                 and (y_t is None or y_t.dtype != jnp.int8)):
             # (the _t experiment predates int8 /255-grid targets and the
@@ -240,9 +259,24 @@ def elbo_minibatch(
         # bernoulli: -(sum BCE)/B; gaussian: -0.5*sum(mask*(mu-y)^2)/B —
         # both are exactly the XLA paths' log_p (train_mnist.py:81,
         # train_particles.py:139)
+        if pixel_axis is not None:
+            # pixel tiles are conditionally independent given the pose:
+            # the per-shard partial sums to the full loss (parallel/pixel
+            # rationale).  psum INSIDE the differentiated function: value
+            # is the global loss on every device; gradient is the local
+            # tile's partial (psum transpose = replicated cotangent).
+            loss = jax.lax.psum(loss, pixel_axis)
         log_p = -loss / b
         z_kl = -z_logstd + 0.5 * z_std ** 2 + 0.5 * z_mu ** 2 - 0.5
         kl_div = jnp.mean(kl_div + jnp.sum(z_kl, axis=1))
+        if pixel_axis is not None:
+            # the KL is computed REPLICATED on every pixel shard; the
+            # caller psums grads over pixel_axis, so scale the KL's
+            # gradient to kl/n (value unchanged: kl/n + sg(kl - kl/n))
+            inv = 1.0 / jax.lax.psum(1.0, pixel_axis)
+            kl_obj = kl_div * inv + jax.lax.stop_gradient(
+                kl_div * (1.0 - inv))
+            return log_p - kl_obj, log_p, kl_div, None
         return log_p - kl_div, log_p, kl_div, None
 
     # ---- decode -----------------------------------------------------------

@@ -81,6 +81,75 @@ def make_spmd_train_step(trainer, mesh, *, fold_shard_key=None):
                                   fold_shard_key=fold_shard_key))
 
 
+def make_spmd_pixel_step(trainer, mesh, *, fold_shard_key=None):
+    """DP x pixel-sharded shard_map training step (SURVEY §5.7 made
+    trainer-reachable): batch shards over 'data', the fused int8 loss
+    kernel's PIXEL axis over 'model'.
+
+    Per (data, model) device: the encoder + pose fold run on the full
+    batch shard (replicated over 'model' — the q network needs every
+    pixel of its images), the kernel runs on this device's HW tile, and
+    elbo_minibatch's pixel_axis hook psums the loss over 'model' so the
+    metrics are exact while each device's gradient is its local tile
+    partial (+ KL/n).  psum(grads, 'model') then sums the partials to the
+    full gradient — algebraically the single-device computation with a
+    different tile-accumulation order (parallel/pixel.py rationale) —
+    and pmean over 'data' completes the classic DP reduction.  The Adam
+    update + shadow/qshadow emission run on those identical reduced
+    grads per device via the ONE shared apply_update.
+
+    RNG: the step key is decorrelated per DATA shard only — every pixel
+    shard of one data shard must draw the SAME reparameterisation noise
+    (they decode one consistent pose).
+
+    Requires: global batch % data-axis == 0, per-shard batch even, and
+    can_pixel_shard(HW, model-axis) — the trainer gates on these."""
+    assert mesh.shape.get("model", 1) > 1, \
+        "pixel step needs a model axis; use make_spmd_step for pure DP"
+
+    fold = fold_shard_key if fold_shard_key is not None \
+        else jax.random.fold_in
+    grad_fn = jax.value_and_grad(trainer._loss, has_aux=True)
+    optimizer = trainer.optimizer
+
+    def per_device(state, y, ctf, key, z_scale, y_t, y_q8, coords, mask):
+        from spatialvae_tpu.train.trainer import apply_update, grad_target
+
+        key = fold(key, jax.lax.axis_index("data"))
+        target, qq = grad_target(state)
+        (_, aux), grads = grad_fn(
+            target, y, ctf, key, z_scale, y_t=y_t, q_quant=qq,
+            y_q8=y_q8 if state.shadow is not None else None,
+            coords=coords, mask=mask, pixel_axis="model")
+        grads = jax.lax.psum(grads, "model")   # sum tile partials
+        grads = jax.lax.pmean(grads, "data")   # global-batch gradient
+        aux = jax.lax.pmean(aux, "data")       # already exact over 'model'
+        return apply_update(optimizer, state, grads,
+                            trainer._compute_dtype), aux
+
+    def spec(state_like):
+        return jax.tree_util.tree_map(lambda _: P(), state_like)
+
+    def step(state, y, ctf, key, z_scale, y_t=None, y_q8=None):
+        assert y_t is not None, \
+            "pixel-sharded steps need the pre-transposed target copy"
+        mask = trainer.mask
+        in_specs = (spec(state), P("data"),
+                    P("data") if ctf is not None else None,
+                    P(), P(),
+                    P("data", None, "model"),
+                    (P("data"), P()) if y_q8 is not None else None,
+                    P("model"),
+                    P("model") if mask is not None else None)
+        out_specs = (spec(state), P())
+        fn = jax.shard_map(per_device, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return fn(state, y, ctf, key, z_scale, y_t, y_q8,
+                  trainer.coords, mask)
+
+    return step
+
+
 def make_spmd_eval_step(trainer, mesh):
     """Un-jitted shard_map EVAL step: each device runs the fused forward
     decoder on its batch shard.

@@ -86,6 +86,10 @@ class TrainState(NamedTuple):
 # (catches the two big q hidden weights; p-net and heads stay bf16)
 _QENC_MIN_ELEMS = 8 << 20
 
+# sentinel: "use the trainer's own mask" (None means "no mask" — the
+# pixel-sharded step passes its mask TILE, which may legitimately be None)
+_INHERIT = object()
+
 
 def _cast_tree(tree, dtype):
     return jax.tree_util.tree_map(
@@ -133,6 +137,25 @@ def _build_yt_i8(a, hw: int):
     (the fused kernel dequants in its p3 pass)."""
     q = jnp.round(a.astype(jnp.float32) * 255.0) - 128.0
     return q.astype(jnp.int8).reshape(a.shape[0], hw, -1).swapaxes(1, 2)
+
+
+def _pixel_spmd_ok(mesh, ecfg, p_cfg, tcfg, hw: int) -> bool:
+    """True iff a model-axis mesh can run the pixel-sharded fused-kernel
+    SPMD step (SURVEY §5.7 made trainer-reachable): the fused int8 loss
+    kernel must be active for the PER-SHARD shapes (batch split over
+    'data', HW split over 'model')."""
+    if mesh is None or mesh.shape.get("model", 1) <= 1 or not ecfg.fused:
+        return False
+    nd = mesh.shape.get("data", 1)
+    nm = mesh.shape["model"]
+    b = tcfg.minibatch_size
+    if b % nd:
+        return False
+    from spatialvae_tpu.objectives.elbo import fused_loss_active
+    from spatialvae_tpu.parallel.pixel import can_pixel_shard
+
+    return (can_pixel_shard(hw, nm)
+            and fused_loss_active(ecfg, p_cfg, hw // nm, b // nd))
 
 
 def grad_target(state: "TrainState"):
@@ -254,7 +277,14 @@ class Trainer:
         # path, which cannot partition a pallas_call: plain XLA Adam there.
         spmd_dp = (mesh is not None and mesh.shape.get("model", 1) == 1
                    and ecfg.fused)
-        if jax.default_backend() == "tpu" and (mesh is None or spmd_dp):
+        # model-axis meshes whose shapes fit the fused kernel per pixel
+        # shard take the explicitly-SPMD pixel step (parallel/spmd.py
+        # make_spmd_pixel_step) — every device runs the full update like
+        # the DP path, so the fused update+apply optimizer carries over
+        spmd_pixel = _pixel_spmd_ok(mesh, ecfg, p_cfg, tcfg,
+                                    self.coords.shape[0])
+        if jax.default_backend() == "tpu" and (mesh is None or spmd_dp
+                                               or spmd_pixel):
             from spatialvae_tpu.train.optimizer_pallas import (
                 fused_adam_pallas,
             )
@@ -266,12 +296,21 @@ class Trainer:
             # multi-chip: TP-shard the q first layer, replicate the rest,
             # and turn on the pixel-axis decoder sharding constraint
             from spatialvae_tpu.parallel.sharding import (
+                replicated,
                 set_activation_sharding,
                 shard_params,
             )
 
             set_activation_sharding(mesh)
-            params = shard_params(params, mesh, tp_mode)
+            if spmd_pixel:
+                # the pixel-sharded shard_map step replicates the state
+                # across the mesh (each device holds full params and the
+                # kernel shards PIXELS) — TP-sharding the q first layer
+                # would force a per-step all-gather through the step's
+                # replicated in_specs
+                params = jax.device_put(params, replicated(mesh))
+            else:
+                params = shard_params(params, mesh, tp_mode)
             self.state = TrainState(params,
                                     jax.jit(self.optimizer.init)(params))
         else:
@@ -289,13 +328,18 @@ class Trainer:
 
     # ------------------------------------------------------------------ loss
     def _loss(self, params, y, ctf, key, z_scale, ecfg=None, y_t=None,
-              q_quant=None, y_q8=None, augment=True, noise=None):
+              q_quant=None, y_q8=None, augment=True, noise=None,
+              coords=None, mask=_INHERIT, pixel_axis=None):
+        """coords/mask default to the trainer's full grid; the pixel-
+        sharded SPMD step passes this device's HW tile plus its mesh axis
+        name (see parallel.spmd.make_spmd_pixel_step)."""
         ecfg = ecfg or self.ecfg
         cd = self._compute_dtype
         q_params = _cast_tree(params["q"], cd)
         p_params = _cast_tree(params["p"], cd)
         y = y.astype(cd)
-        coords = self.coords.astype(cd)
+        coords = (self.coords if coords is None else coords).astype(cd)
+        mask = self.mask if mask is _INHERIT else mask
 
         y_inf = None
         offsets = None
@@ -335,11 +379,12 @@ class Trainer:
                 noise=noise,
                 y_inf=y_inf, offsets=offsets, z_scale=z_scale,
                 ctf=None if ctf is None else ctf.astype(cd),
-                mask=self.mask,
+                mask=mask,
                 image_shape=self.tcfg.image_shape,
                 y_t=y_t,
                 q_quant=q_quant,
                 y_q8=y_q8,
+                pixel_axis=pixel_axis,
             )
         loss = -elbo.astype(jnp.float32)
         aux = jnp.stack([elbo.astype(jnp.float32),
@@ -353,10 +398,14 @@ class Trainer:
 
         # DP meshes run the explicitly-SPMD shard_map step so the fused
         # Pallas decoder works multi-chip (GSPMD can't partition a
-        # pallas_call); model-parallel meshes use the GSPMD path.
+        # pallas_call); model-axis meshes whose shapes fit the kernel per
+        # pixel shard run the pixel-sharded shard_map step (SURVEY §5.7);
+        # remaining model-parallel configs use the GSPMD path.
         self._spmd = (self.mesh is not None
                       and self.mesh.shape.get("model", 1) == 1
                       and self.ecfg.fused)
+        self._spmd_pixel = _pixel_spmd_ok(self.mesh, self.ecfg, self.p_cfg,
+                                          self.tcfg, self.coords.shape[0])
 
         # bf16 shadow-params fast path (see TrainState.shadow): wherever
         # the fused update+apply optimizer is active and compute is bf16 —
@@ -365,7 +414,8 @@ class Trainer:
         # emission is identical across devices)
         self._use_shadow = (hasattr(self.optimizer, "update_apply")
                             and self._compute_dtype == jnp.bfloat16
-                            and (self.mesh is None or self._spmd))
+                            and (self.mesh is None or self._spmd
+                                 or self._spmd_pixel))
         # int8 encoder (TrainState.qshadow) only in int8 speed mode — the
         # quality contract is the same horizon band as the int8 decoder
         self._use_qenc = self._use_shadow and bool(self.ecfg.int8)
@@ -387,11 +437,17 @@ class Trainer:
                                                        fused_loss=False))
 
         self._tail_step = None
-        if self._spmd:
+        if self._spmd or self._spmd_pixel:
             from jax.sharding import NamedSharding, PartitionSpec
-            from spatialvae_tpu.parallel.spmd import make_spmd_step
+            from spatialvae_tpu.parallel.spmd import (
+                make_spmd_pixel_step,
+                make_spmd_step,
+            )
 
-            train_step = make_spmd_step(self, self.mesh)
+            if self._spmd:
+                spmd_step = make_spmd_step(self, self.mesh)
+            else:
+                spmd_step = make_spmd_pixel_step(self, self.mesh)
 
             # shard_map needs the batch to divide the data axis; a trailing
             # partial batch that doesn't runs through this GSPMD-replicated
@@ -416,6 +472,21 @@ class Trainer:
             self._tail_step = jax.jit(
                 tail_step,
                 out_shardings=NamedSharding(self.mesh, PartitionSpec()))
+
+            if self._spmd:
+                train_step = spmd_step
+            else:
+                def train_step(state, y, ctf, key, z_scale, y_t=None,
+                               y_q8=None):
+                    # batches the pixel-sharded kernel step cannot take —
+                    # no pre-transposed y_t copy (streamed datasets) or a
+                    # per-image CTF (kernel falls back anyway) — train
+                    # through the replicated GSPMD step, exactly like the
+                    # tails (trace-time dispatch: y_t presence is static)
+                    if y_t is None or ctf is not None:
+                        return tail_step(state, y, ctf, key, z_scale)
+                    return spmd_step(state, y, ctf, key, z_scale, y_t,
+                                     y_q8)
         else:
             def train_step(state, y, ctf, key, z_scale, y_t=None,
                            y_q8=None):
@@ -630,10 +701,12 @@ class Trainer:
         if dataset.ctf is not None:
             return False
         b = self.tcfg.minibatch_size
-        if self._spmd:
+        hw = self.coords.shape[0]
+        if self._spmd or self._spmd_pixel:
             b //= self.mesh.shape["data"]
-        return fused_loss_active(self.ecfg, self.p_cfg,
-                                 self.coords.shape[0], b)
+        if self._spmd_pixel:
+            hw //= self.mesh.shape["model"]
+        return fused_loss_active(self.ecfg, self.p_cfg, hw, b)
 
     def train_epoch(self, dataset, epoch: int, *, progress: bool = True,
                     progress_stream=None) -> Tuple[float, float, float]:
@@ -703,7 +776,8 @@ class Trainer:
                 ctf = (None if dataset.ctf is None
                        else jnp.asarray(dataset.ctf[idx]))
                 k_tail = jax.random.fold_in(step_key, num_full)
-                if self._spmd and tail % self.mesh.shape["data"] != 0:
+                if self._spmd_pixel or (self._spmd and
+                                        tail % self.mesh.shape["data"] != 0):
                     # same routing as the preloaded branch below: the
                     # shard_map step's P('data') in_specs cannot take a
                     # batch that does not divide the data axis — train it
@@ -722,8 +796,9 @@ class Trainer:
                 state, metrics = self._train_epoch_scan(
                     state, dataset.y, data_t, dataset.ctf, data_q8,
                     full_idx, step_key, z_scale)
-            if tail and self._spmd \
-                    and tail % self.mesh.shape["data"] != 0:
+            if tail and (self._spmd_pixel
+                         or (self._spmd
+                             and tail % self.mesh.shape["data"] != 0)):
                 # the shard_map step can't take this batch — train it
                 # through the replicated plain step instead of dropping it
                 k_tail = jax.random.fold_in(step_key, num_full)

@@ -482,3 +482,117 @@ def test_spmd_particles_features_epoch():
     assert np.isfinite(elbo)
     ev = t.eval_epoch(data, 0)
     assert np.isfinite(ev[0])
+
+
+# ---------------------------------------------------------------------------
+# pixel-sharded (DP x model) SPMD step — SURVEY §5.7 trainer-reachable
+# ---------------------------------------------------------------------------
+
+
+def _pixel_setup(monkeypatch, data_ax=4, model_ax=2, n=64, m=32, batch=8):
+    monkeypatch.setenv("SPATIALVAE_INTERPRET", "1")
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    mesh = create_mesh(MeshConfig(data=data_ax, model=model_ax))
+    q_cfg = InferenceConfig(n=n * m, latent_dim=5, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, num_layers=2)
+    ecfg = ElboConfig(likelihood="bernoulli", theta_prior=np.pi,
+                      fused=True, int8=True)
+    tcfg = TrainConfig(minibatch_size=batch, num_epochs=1, seed=0,
+                       image_shape=(n, m))
+    t = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m), mesh=mesh)
+    t1 = Trainer(q_cfg, p_cfg, ecfg, tcfg, coord_grid(n, m))
+    return t, t1, mesh
+
+
+def test_pixel_spmd_step_matches_single_device(monkeypatch):
+    """VERDICT r4 #3: the pixel-sharded shard_map train step (batch over
+    'data', the fused kernel's HW axis over 'model') must reproduce the
+    single-device step — same data replicated on every data shard, shard
+    keys neutralised.  The per-shard kernel tiles align with the
+    single-device kernel's pixel tiles, so the only difference is the
+    psum's accumulation order (float reassociation)."""
+    from spatialvae_tpu.parallel.spmd import make_spmd_pixel_step
+
+    t, t1, mesh = _pixel_setup(monkeypatch)
+    assert t._spmd_pixel and not t._spmd
+
+    hw = 64 * 32
+    y = jax.random.uniform(jax.random.PRNGKey(11), (2, hw))
+    y_rep = jnp.tile(y, (4, 1))
+    y_t = y.reshape(2, hw, 1).swapaxes(1, 2)
+    y_t_rep = jnp.tile(y_t, (4, 1, 1))
+    key = jax.random.PRNGKey(4)
+    z = jnp.asarray(1.0, jnp.float32)
+
+    step = jax.jit(make_spmd_pixel_step(t, mesh,
+                                        fold_shard_key=lambda k, i: k))
+    state_px, m_px = step(t.state, y_rep, None, key, z, y_t_rep)
+
+    state_ref, m_ref = t1._train_step(t1.state, y, None, key, z, y_t)
+    np.testing.assert_allclose(np.asarray(m_px), np.asarray(m_ref),
+                               rtol=1e-5, atol=1e-6)
+    # decoder leaves: the kernel's int gradient paths are deterministic
+    # and the two pixel tiles sum in the same order in-kernel and via
+    # psum — bit-for-tolerance equal
+    for path in (("p", "coord", "w"), ("p", "latent", "w"),
+                 ("p", "layers", 0, "w")):
+        a = state_px.params
+        r = state_ref.params
+        for k in path:
+            a, r = a[k], r[k]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
+    # encoder first layer: its gradient reaches it through a LINEAR map of
+    # the per-tile dfold partials, so psum(J dfold_A, J dfold_B) vs
+    # J(dfold_A + dfold_B) differ by float reassociation only — but
+    # elements whose true gradient sits below that noise floor flip sign,
+    # and Adam's first step is +-lr regardless of magnitude.  Allow at
+    # most a 2*lr difference on a tiny fraction of elements.
+    a = np.asarray(state_px.params["q"]["layers"][0]["w"])
+    r = np.asarray(state_ref.params["q"]["layers"][0]["w"])
+    d = np.abs(a - r)
+    lr = 1e-4
+    assert d.max() <= 2.0 * lr + 1e-6
+    assert (d > 1e-6).mean() < 0.01    # <1% of elements at the noise floor
+
+
+def test_pixel_spmd_epoch_and_tail(monkeypatch):
+    """Trainer-level pixel-sharded training: train_epoch (scan) runs the
+    pixel step on full batches, routes the trailing partial batch through
+    the replicated tail step, keeps params replicated and finite, and
+    eval works (GSPMD XLA-decoder path)."""
+    from spatialvae_tpu.data import ArrayDataset
+
+    t, _, mesh = _pixel_setup(monkeypatch)
+    assert t._spmd_pixel
+    data = ArrayDataset(jax.random.uniform(jax.random.PRNGKey(1),
+                                           (20, 64 * 32)))  # tail of 4
+    elbo0 = t.train_epoch(data, 0, progress=False)[0]
+    elbo1 = t.train_epoch(data, 1, progress=False)[0]
+    assert np.isfinite(elbo0) and np.isfinite(elbo1)
+    w = t.state.params["q"]["layers"][0]["w"]
+    assert len(set(w.sharding.device_set)) == 8   # replicated across mesh
+    ev = t.eval_epoch(data, 0)
+    assert np.isfinite(ev[0])
+
+
+def test_pixel_spmd_train_epochs_matches_sequential(monkeypatch):
+    """The in-graph multi-epoch scan composes with the pixel step and
+    reproduces sequential train_epoch calls exactly."""
+    from spatialvae_tpu.data import ArrayDataset
+
+    t_seq, _, _ = _pixel_setup(monkeypatch)
+    t_one, _, _ = _pixel_setup(monkeypatch)
+    y = jax.random.uniform(jax.random.PRNGKey(2), (16, 64 * 32))
+    data = ArrayDataset(y)
+    rows = [t_seq.train_epoch(data, e, progress=False) for e in range(2)]
+    m = t_one.train_epochs(data, 0, 2)
+    np.testing.assert_allclose(m, np.asarray(rows), rtol=1e-5, atol=1e-6)

@@ -77,7 +77,7 @@ def make_galaxy_proxy(n_images, n, m, channels, seed=3):
 
 
 def run(epochs: int, batch: int, steps: int, int8: bool, data: str = "fields",
-        likelihood: str = "bernoulli", masked: bool = False):
+        likelihood: str = "bernoulli", masked: bool = False, seed: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -102,7 +102,7 @@ def run(epochs: int, batch: int, steps: int, int8: bool, data: str = "fields",
                       likelihood=likelihood, channels=channels, fused=True,
                       int8=int8)
     tcfg = TrainConfig(minibatch_size=batch, learning_rate=1e-4,
-                       num_epochs=epochs, seed=0, compute_dtype="bfloat16",
+                       num_epochs=epochs, seed=seed, compute_dtype="bfloat16",
                        image_shape=(n, m), channels=channels)
     grid = coord_grid(n, m)
     mask = None
@@ -162,6 +162,7 @@ def main():
     likelihood = "bernoulli"
     masked = False
     moments = None
+    calib_seed = None
     for a in sys.argv[1:]:
         k, v = a.split("=")
         if k == "epochs":
@@ -181,6 +182,13 @@ def main():
             # the gap below gates the full quality-lever stack against the
             # untouched bf16 parity arm (SPATIALVAE_ADAM_MOMENTS)
             moments = v
+        elif k == "calib_seed":
+            # TRAJECTORY-CHAOS CALIBRATION: instead of int8, the second
+            # arm is ANOTHER bf16 run at this seed.  The bf16-vs-bf16 gap
+            # is the scale of ordinary seed-to-seed trajectory separation
+            # on this data — the yardstick the int8 gap must be read
+            # against (two equally-healthy runs do not track in lockstep)
+            calib_seed = int(v)
 
     from spatialvae_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -188,17 +196,24 @@ def main():
     os.environ.pop("SPATIALVAE_ADAM_MOMENTS", None)
     bf16 = run(epochs, batch, steps, int8=False, data=data,
                likelihood=likelihood, masked=masked)
-    if moments:
-        os.environ["SPATIALVAE_ADAM_MOMENTS"] = moments
-    i8 = run(epochs, batch, steps, int8=True, data=data,
-             likelihood=likelihood, masked=masked)
-    rel = [abs((a - b) / b) for a, b in zip(i8, bf16)]
-    for e, (b, a, r) in enumerate(zip(bf16, i8, rel)):
-        print(f"epoch {e + 1:3d}  bf16={b:.4f}  int8={a:.4f}  rel={r:.2e}")
+    if calib_seed is not None:
+        arm = run(epochs, batch, steps, int8=False, data=data,
+                  likelihood=likelihood, masked=masked, seed=calib_seed)
+        arm_name = f"bf16(seed={calib_seed})"
+    else:
+        if moments:
+            os.environ["SPATIALVAE_ADAM_MOMENTS"] = moments
+        arm = run(epochs, batch, steps, int8=True, data=data,
+                  likelihood=likelihood, masked=masked)
+        arm_name = "int8"
+    rel = [abs((a - b) / b) for a, b in zip(arm, bf16)]
+    for e, (b, a, r) in enumerate(zip(bf16, arm, rel)):
+        print(f"epoch {e + 1:3d}  bf16={b:.4f}  {arm_name}={a:.4f}  "
+              f"rel={r:.2e}")
     print(json.dumps({
         "epochs": epochs, "batch": batch, "steps_per_epoch": steps,
         "data": data, "likelihood": likelihood, "mask": masked,
-        "moments": moments,
+        "moments": moments, "arm": arm_name,
         "max_rel_gap": max(rel), "final_rel_gap": rel[-1],
         "inside_1pct": max(rel) < 0.01,
     }))
