@@ -69,9 +69,20 @@ def add_common_extras(parser: argparse.ArgumentParser):
     add_arg(parser, "--no-fused", action="store_true",
             help="disable the fused Pallas decoder kernel (additive)")
     add_arg(parser, "--int8-decoder", action="store_true",
-            help="EXPERIMENTAL: int8-MXU decoder GEMMs (~2x decoder "
-                 "throughput, ~0.5%% hidden-layer quantisation error; "
-                 "breaks the 1%%-ELBO parity guarantee) (additive)")
+            help="int8/int4-MXU training stack — the recommended TPU "
+                 "speed mode (~2x bf16 throughput).  Measured 100-epoch "
+                 "ELBO gap vs the bf16 path: 0.14%% max on smooth data, "
+                 "~1.0%% worst-case on saturated galaxy-like data (vs a "
+                 "0.46%% seed-to-seed trajectory-chaos floor; see "
+                 "BASELINE.md round 5).  Use --int8-sr for guaranteed "
+                 "<1%% tracking on long runs (additive)")
+    add_arg(parser, "--int8-sr", action="store_true",
+            help="with --int8-decoder: stochastic rounding at the "
+                 "kernel's quantisation sites — unbiased int4/int8 "
+                 "rounding for tighter long-horizon ELBO tracking "
+                 "(100-epoch galaxy-proxy max gap 0.76%% vs 1.05%%) at "
+                 "~10%% throughput cost (kernel 45.5 vs 40.8 ms/2048) "
+                 "(additive)")
     add_arg(parser, "--adam-moments", choices=["f32", "bf16"],
             default="f32",
             help="Adam moment (mu/nu) storage dtype; bf16 halves the "
@@ -218,8 +229,6 @@ def maybe_resume(trainer, args) -> int:
         if getattr(trainer, "_spmd_pixel", False):
             # the pixel-sharded shard_map step keeps params replicated
             # (trainer.__init__ does the same at init)
-            import jax
-
             params = jax.device_put(params, replicated(trainer.mesh))
         else:
             params = shard_params(params, trainer.mesh, trainer.tp_mode)
@@ -328,7 +337,8 @@ def chunked_epochs(trainer, dataset, start_epoch: int, num_epochs: int,
 
 @contextlib.contextmanager
 def device_context(device_flag: int, matmul_precision: str = "highest",
-                   debug_nans: bool = False, adam_moments: str = "f32"):
+                   debug_nans: bool = False, adam_moments: str = "f32",
+                   int8_sr: bool = False):
     """Map the reference's -d flag onto JAX device selection."""
     import os
 
@@ -344,6 +354,15 @@ def device_context(device_flag: int, matmul_precision: str = "highest",
     # for the default
     prev_moments = os.environ.get("SPATIALVAE_ADAM_MOMENTS")
     os.environ["SPATIALVAE_ADAM_MOMENTS"] = adam_moments or "f32"
+    # --int8-sr: an EXPLICIT user flag is the sanctioned path for this
+    # numerics knob, so the guard opt-in is scoped alongside it (and
+    # restored, so a stray env var still fails the next run's trainer
+    # guard); SR itself is read by the kernel via KernelConfig.from_env
+    prev_sr = (os.environ.get("SPATIALVAE_SR"),
+               os.environ.get("SPATIALVAE_ALLOW_KNOBS"))
+    if int8_sr:
+        os.environ["SPATIALVAE_SR"] = "1"
+        os.environ["SPATIALVAE_ALLOW_KNOBS"] = "1"
     try:
         if device_flag == -1:
             cpu = jax.devices("cpu")[0]
@@ -365,6 +384,12 @@ def device_context(device_flag: int, matmul_precision: str = "highest",
             os.environ.pop("SPATIALVAE_ADAM_MOMENTS", None)
         else:
             os.environ["SPATIALVAE_ADAM_MOMENTS"] = prev_moments
+        for name, prev in zip(("SPATIALVAE_SR", "SPATIALVAE_ALLOW_KNOBS"),
+                              prev_sr):
+            if prev is None:
+                os.environ.pop(name, None)
+            else:
+                os.environ[name] = prev
 
 
 def resolve_activation_name(cli_choice: str, trainer: str) -> str:

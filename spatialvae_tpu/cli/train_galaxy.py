@@ -184,7 +184,8 @@ def run(args):
     # device_context's jax.devices() would otherwise be
     mesh = maybe_mesh(args)
     with device_context(args.device, args.matmul_precision,
-                        args.debug_nans, args.adam_moments):
+                        args.debug_nans, args.adam_moments,
+                        int8_sr=args.int8_sr):
         z_dim = args.z_dim
         print("# training with z-dim:", z_dim, file=sys.stderr)
 

@@ -287,3 +287,27 @@ def test_resume_honors_adam_moments(tmp_path, monkeypatch):
         assert leaf.dtype == jnp.bfloat16
     for leaf in jax.tree.leaves(t.state.opt_state.nu):
         assert leaf.dtype == jnp.bfloat16
+
+
+def test_int8_sr_flag_scopes_env():
+    """--int8-sr is the sanctioned path to the SR numerics knob: inside
+    device_context it sets SPATIALVAE_SR (+ the guard opt-in) and the
+    trainer guard accepts; on exit both restore so a later run in the
+    same process fails the guard again if the env leaks from elsewhere."""
+    import os
+
+    from spatialvae_tpu.cli.common import device_context
+    from spatialvae_tpu.kernels.config import (
+        KernelConfig,
+        check_numerics_default,
+    )
+
+    for v in ("SPATIALVAE_SR", "SPATIALVAE_ALLOW_KNOBS"):
+        os.environ.pop(v, None)
+    with device_context(-1, int8_sr=True):
+        assert os.environ["SPATIALVAE_SR"] == "1"
+        assert KernelConfig.from_env().sr is True
+        check_numerics_default()          # sanctioned, no raise
+    assert "SPATIALVAE_SR" not in os.environ
+    assert "SPATIALVAE_ALLOW_KNOBS" not in os.environ
+    assert KernelConfig.from_env().sr is False
