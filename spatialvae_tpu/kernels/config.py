@@ -54,7 +54,8 @@ def _env_flag(name: str, default: bool = False) -> bool:
 # tile size, VMEM cap, MXU-vs-VPU build — float-assoc only) are exempt,
 # and `interpret` is the test mechanism itself.
 NUMERICS_FIELDS = ("grad_mode", "gscale", "epi", "tanh", "sr", "a1q",
-                   "db1", "phase_cut", "layout", "grad_mode_t")
+                   "db1", "phase_cut", "layout", "grad_mode_t",
+                   "adam_emit")
 
 
 @dataclass(frozen=True)
@@ -101,6 +102,17 @@ class KernelConfig:
     layout: str = "row"
     # transposed-kernel gradient mode ('i8' | 'i4'), _t layout only
     grad_mode_t: str = "i4"
+    # int8-encoder-weight emission engine: 'xla' (default) = fresh-scale
+    # XLA Adam + separate clamp_convert emission pass (the round-4 stack)
+    # | 'pallas' = the single-pass Adam+emit kernel
+    # (optimizer_pallas._adam_emit_leaf; quant scale one step stale).
+    # MEASURED NEGATIVE (round 5, bench B=4096): pallas 100.1 ms/step
+    # (40.9k img/s) vs xla 94.9 (43.2k) — same class as the round-2
+    # per-leaf Pallas Adam loss (Mosaic buys nothing on HBM-bound
+    # elementwise, and the mid-while-body pallas_calls forfeit XLA's
+    # fusion/overlap around them).  Kept env-gated as the measured record;
+    # numerically verified on TPU (m/v exact, p' 1 ulp, abs-max exact).
+    adam_emit: str = "xla"
     # _t-kernel pipeline depth: its OWN default is 4 (its recorded numbers
     # are depth-4 and it has the largest per-image transients — inheriting
     # the row kernel's depth-8 would silently A/B an unmeasured, likely
@@ -147,6 +159,8 @@ class KernelConfig:
                                ("row", "t")),
             grad_mode_t=_env_choice("SPATIALVAE_INT4_GRADS_T",
                                     cls.grad_mode_t, ("i8", "i4")),
+            adam_emit=_env_choice("SPATIALVAE_ADAM_EMIT", cls.adam_emit,
+                                  ("pallas", "xla")),
             pipe_imgs_t=pipe_t,
             interpret=_env_flag("SPATIALVAE_INTERPRET", False),
         )

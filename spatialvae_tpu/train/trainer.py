@@ -173,8 +173,8 @@ def grad_target(state: "TrainState"):
     return state.shadow, qq
 
 
-def apply_update(optimizer, state: "TrainState", grads, compute_dtype
-                 ) -> "TrainState":
+def apply_update(optimizer, state: "TrainState", grads, compute_dtype,
+                 emit_kernel: bool = True) -> "TrainState":
     """Adam update + shadow/qshadow emission -> next TrainState.
 
     The ONE implementation of the post-gradient half of a training step,
@@ -182,13 +182,18 @@ def apply_update(optimizer, state: "TrainState", grads, compute_dtype
     (the round-3 tail-drift bug came from this logic existing in three
     places).  Whatever throughput stack the state carries (bf16 shadow,
     int8 encoder weights) is re-emitted by the same fused update+apply
-    pass; a state without them takes the plain update path."""
+    pass; a state without them takes the plain update path.
+
+    ``emit_kernel=False`` routes the qshadow emission to the XLA path —
+    required wherever the caller runs under plain-jit GSPMD (the mesh
+    tail step), which cannot partition the Pallas Adam+emit kernel."""
     if state.shadow is not None:
         if state.qshadow is not None:
             params, opt_state, shadow, qshadow = optimizer.update_apply(
                 grads, state.opt_state, state.params,
                 shadow_dtype=compute_dtype,
-                quant_min_elems=_QENC_MIN_ELEMS)
+                quant_min_elems=_QENC_MIN_ELEMS,
+                prev_quant=state.qshadow, emit_kernel=emit_kernel)
             return TrainState(params, opt_state, shadow, qshadow)
         params, opt_state, shadow = optimizer.update_apply(
             grads, state.opt_state, state.params,
@@ -467,7 +472,8 @@ class Trainer:
                 (_, aux), grads = tail_grad(state.params, y, ctf, key,
                                             z_scale)
                 return apply_update(self.optimizer, state, grads,
-                                    self._compute_dtype), aux
+                                    self._compute_dtype,
+                                    emit_kernel=False), aux
 
             self._tail_step = jax.jit(
                 tail_step,

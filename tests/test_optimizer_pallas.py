@@ -121,3 +121,67 @@ def test_pallas_adam_bf16_grads():
     p_b, sb = pal.update_apply(g, sb, p)
     np.testing.assert_allclose(np.asarray(p_a["w"]), np.asarray(p_b["w"]),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("moments", ["f32", "bf16"])
+def test_adam_emit_kernel_single_pass(moments, monkeypatch):
+    """The single-pass Adam+emit kernel (stale quant scale carried via
+    qshadow['ns']) must match the XLA path exactly on m'/v'/p'/shadow,
+    quantize with the CARRIED scale, and emit the fresh abs-max."""
+    monkeypatch.setenv("SPATIALVAE_ADAM_MOMENTS", moments)
+    from spatialvae_tpu.train.optimizer_pallas import quantize_leaf
+
+    lr = 1e-3
+    pal = fused_adam_pallas(lr, interpret=True)
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    params = {
+        # kernel-eligible leaf (rows divide by 8)
+        "w1": jax.random.normal(ks[0], (64, 300), jnp.float32),
+        # rows indivisible by 8 -> XLA fallback, same leaf structure
+        "w2": jax.random.normal(ks[1], (13, 16), jnp.float32),
+        "b": jax.random.normal(ks[2], (16,), jnp.float32),
+    }
+    prev = jax.tree_util.tree_map(
+        lambda p: quantize_leaf(p, p.ndim == 2), params)
+    grads = jax.tree_util.tree_map(
+        lambda p, k=ks[3]: 0.1 * jax.random.normal(
+            jax.random.fold_in(k, p.size), p.shape, p.dtype), params)
+
+    sa = pal.init(params)
+    sb = pal.init(params)
+    monkeypatch.setenv("SPATIALVAE_ADAM_EMIT", "pallas")
+    p_a, st_a, sh_a, q_a = pal.update_apply(
+        grads, sa, params, shadow_dtype=jnp.bfloat16, quant_min_elems=1,
+        prev_quant=prev)
+    monkeypatch.setenv("SPATIALVAE_ADAM_EMIT", "xla")
+    p_b, st_b, sh_b, q_b = pal.update_apply(
+        grads, sb, params, shadow_dtype=jnp.bfloat16, quant_min_elems=1,
+        prev_quant=prev)
+
+    for a, b in zip(jax.tree_util.tree_leaves((p_a, st_a.mu, st_a.nu)),
+                    jax.tree_util.tree_leaves((p_b, st_b.mu, st_b.nu))):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(sh_a),
+                    jax.tree_util.tree_leaves(sh_b)):
+        assert a.dtype == b.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+    # kernel leaf: q uses the CARRIED (stale) scale, ns is the fresh max
+    e = q_a["w1"]
+    p2 = np.asarray(p_a["w1"], np.float32)
+    s_in = np.asarray(prev["w1"]["ns"], np.float32)
+    np.testing.assert_array_equal(np.asarray(e["s"]), s_in)
+    ref_q = np.clip(np.round(p2 / s_in[0, 0]), -127, 127).astype(np.int8)
+    np.testing.assert_array_equal(np.asarray(e["q"]), ref_q)
+    np.testing.assert_allclose(np.asarray(e["ns"])[0, 0],
+                               np.abs(p2).max() / 127.0 + 1e-30,
+                               rtol=1e-6)
+    # fallback leaf keeps the fresh-scale convention; q agrees with its s
+    f = q_b["w2"]
+    p2b = np.asarray(p_b["w2"], np.float32)
+    np.testing.assert_allclose(np.asarray(f["s"])[0, 0],
+                               np.abs(p2b).max() / 127.0 + 1e-30,
+                               rtol=1e-6)
