@@ -44,26 +44,34 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
     n = m = 64
     # 'particles' = the cryo-EM workload (BASELINE.json configs #3/#4
     # minus CTF): grayscale, gaussian likelihood, circular pixel mask —
-    # rides the gaussian-family fused kernel since round 4
-    channels = 1 if config == "particles" else 3
+    # rides the gaussian-family fused kernel since round 4.
+    # 'colored' = particles --fit-noise (reference train_particles.py
+    # likelihood with learned per-pixel variance, n_out=2 interleaved
+    # mu/logvar): the ONE family the fused kernel does not cover — the
+    # interleaved head pairs kernel pixel k with k+HW/2 across tiles —
+    # so it runs the XLA decoder path; this arm records that cost at
+    # bench scale (BASELINE.md round 5).
+    channels = 1 if config in ("particles", "colored") else 3
     z_dim = 20
     n_images = batch * steps_per_epoch
 
     inf_dim = z_dim + 3
     q_cfg = InferenceConfig(n=n * m * channels, latent_dim=inf_dim,
                             hidden_dim=5000, num_layers=2)
+    n_out = 2 if config == "colored" else channels
     p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=500,
-                                   n_out=channels, num_layers=2)
+                                   n_out=n_out, num_layers=2)
+    likelihood = {"particles": "gaussian", "colored": "colored"}.get(
+        config, "bernoulli")
     ecfg = ElboConfig(rotate=True, translate=True, theta_prior=np.pi,
-                      likelihood=("gaussian" if config == "particles"
-                                  else "bernoulli"),
+                      likelihood=likelihood,
                       channels=channels, fused=fused, int8=int8)
     tcfg = TrainConfig(minibatch_size=batch, learning_rate=1e-4,
                        num_epochs=3, seed=0, compute_dtype="bfloat16",
                        image_shape=(n, m), channels=channels)
     grid = coord_grid(n, m)
     mask = None
-    if config == "particles":
+    if config in ("particles", "colored"):
         mask = (np.sum(np.asarray(grid) ** 2, axis=1)
                 <= 1.0).astype(np.float32)
     trainer = Trainer(q_cfg, p_cfg, ecfg, tcfg, grid, mask=mask)
@@ -159,8 +167,9 @@ def main():
                                steps_per_epoch=steps, config=config)
 
     mode = "int8" if int8 else "bf16"
-    name = ("particles 64px z=20 gaussian+mask"
-            if config == "particles" else "galaxy_zoo 64px z=20")
+    name = {"particles": "particles 64px z=20 gaussian+mask",
+            "colored": "particles 64px z=20 fit-noise (XLA path)",
+            }.get(config, "galaxy_zoo 64px z=20")
     result = {
         "metric": f"train images/sec/chip ({name}, {mode})",
         "value": round(images_per_sec, 1),

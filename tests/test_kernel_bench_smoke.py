@@ -12,7 +12,13 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# slow-marked (21 s subprocess): guards a measurement tool, not the
+# training stack — run with `pytest -m slow` after editing kernel_bench
+pytestmark = pytest.mark.slow
 
 
 def test_kernel_bench_probes_run_in_interpret_mode():

@@ -120,10 +120,16 @@ def test_dryrun_multichip_runs():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_driver_convention():
     """The driver imports the module and calls dryrun_multichip(n) directly
     in a bare process (no conftest CPU bootstrap); the function must
-    self-bootstrap the virtual CPU mesh itself (round-1 MULTICHIP gate)."""
+    self-bootstrap the virtual CPU mesh itself (round-1 MULTICHIP gate).
+
+    slow-marked (76 s — a full from-scratch subprocess recompile of every
+    dryrun phase): the driver itself executes this exact convention every
+    round, and test_dryrun_multichip_runs covers the phases in-process.
+    Run with `pytest -m slow` after touching __graft_entry__ bootstrap."""
     import os
     import subprocess
     import sys
