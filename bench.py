@@ -47,10 +47,10 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
     # rides the gaussian-family fused kernel since round 4.
     # 'colored' = particles --fit-noise (reference train_particles.py
     # likelihood with learned per-pixel variance, n_out=2 interleaved
-    # mu/logvar): the ONE family the fused kernel does not cover — the
-    # interleaved head pairs kernel pixel k with k+HW/2 across tiles —
-    # so it runs the XLA decoder path; this arm records that cost at
-    # bench scale (BASELINE.md round 5).
+    # mu/logvar).  Rides the fused loss kernel since round 5 via chunk-
+    # permuted coords (kernels/fused_loss_int8.py module docstring):
+    # 43.6k img/s at B=2048 vs 31.3k on the XLA decode-then-loss path it
+    # replaced (BASELINE.md round 5).
     channels = 1 if config in ("particles", "colored") else 3
     z_dim = 20
     n_images = batch * steps_per_epoch
@@ -168,7 +168,7 @@ def main():
 
     mode = "int8" if int8 else "bf16"
     name = {"particles": "particles 64px z=20 gaussian+mask",
-            "colored": "particles 64px z=20 fit-noise (XLA path)",
+            "colored": "particles 64px z=20 fit-noise+mask",
             }.get(config, "galaxy_zoo 64px z=20")
     result = {
         "metric": f"train images/sec/chip ({name}, {mode})",

@@ -34,13 +34,27 @@ The bf16 fused kernel (fused_decoder.py) remains the parity path.
 Long-horizon ELBO agreement is validated by tools/int8_horizon.py.
 
 Supported families: foldable SpatialGenerator, num_layers=2, no resid, no
-softplus, HW % tile == 0, even batch, with either the bernoulli likelihood
-(n_out<=8 — galaxy flagship) or the gaussian likelihood (n_out=1 — the
-particles no-fit-noise configs), each with an optional per-pixel mask.
-CTF and the colored (--fit-noise) family fall back to the XLA path.
+softplus, HW % tile == 0, even batch, with the bernoulli likelihood
+(n_out<=8 — galaxy flagship), the gaussian likelihood (n_out=1 — the
+particles no-fit-noise configs), or the colored likelihood (n_out=2 —
+particles --fit-noise with the reference's interleaved mu/logvar split,
+round 5), each with an optional per-pixel mask.  CTF runs fall back to
+the XLA path (the FFT stays in XLA).
 Reference math: /root/reference/spatial_vae/models.py:90-132 +
-train_galaxy.py:27-128 (BCE x channels) + train_particles.py:126-139
-(masked gaussian).
+train_galaxy.py:27-128 (BCE x channels) + train_particles.py:102-139
+(masked gaussian; fit-noise interleave + sq/var + logvar).
+
+Colored-family tiling (round 5): the reference flattens the (B, HW, 2)
+head row-major and splits at HW (train_particles.py:107-110), so image
+pixel s+2q+c reads its MEAN from decoder pixel s/2+q channel c and its
+LOGVAR from decoder pixel HW/2+s/2+q channel c — a cross-tile pairing
+under the natural pixel order.  The kernel instead consumes CHUNK-
+PERMUTED coords (_colored_coords): tile t's first Pt/2 rows are the
+mean coords, its last Pt/2 rows the matching logvar coords, so the
+pairing becomes a static lane-axis split of the (2, Pt) head output and
+every tile is self-contained.  dfold/db/dW contractions sum over all
+pixel rows, so the permutation is algebraically invisible to them;
+targets/mask arrive pre-paired as (B, 2, HW/2) / (2, HW/2) tiles.
 """
 
 from __future__ import annotations
@@ -220,15 +234,23 @@ def hw_tiles_ok(hw: int) -> bool:
 
 def can_fuse_loss_int8(cfg: SpatialGeneratorConfig, hw: int,
                        likelihood: str) -> bool:
-    """Bernoulli (galaxy/mnist BCE) and gaussian (particles no-fit-noise,
-    train_particles.py:139) both ride the kernel: the gaussian backward
-    replaces p3's (s - y) with mask*(s - y_mu)*s*(1 - s) — same (No, Pt)
-    elementwise footprint, identical phases everywhere else.  The colored
-    (--fit-noise) family keeps the XLA path: its interleaved two-channel
-    head (train_particles.py:102-110) breaks the per-tile target layout."""
+    """Bernoulli (galaxy/mnist BCE), gaussian (particles no-fit-noise,
+    train_particles.py:139) and colored (particles --fit-noise,
+    train_particles.py:102-137) all ride the kernel: gaussian replaces
+    p3's (s - y) with mask*(s - y_mu)*s*(1 - s); colored splits the
+    (2, Pt) head output at the lane midpoint into the interleaved
+    mu/logvar pair over chunk-permuted coords (see module docstring) —
+    same (No, Pt)-order elementwise footprint, identical phases
+    everywhere else.  The elbo-level gate additionally requires the
+    reference's interleaved split semantics (ElboConfig
+    .fit_noise_interleaved — the per-channel variant keeps XLA)."""
     if likelihood == "gaussian":
-        # grayscale particles head only; fit-noise (n_out=2) falls back
+        # grayscale particles head only
         if cfg.n_out != 1:
+            return False
+    elif likelihood == "colored":
+        # exactly the fit-noise head: 2 outputs (mu, logvar), grayscale
+        if cfg.n_out != 2:
             return False
     elif likelihood != "bernoulli":
         return False
@@ -236,6 +258,32 @@ def can_fuse_loss_int8(cfg: SpatialGeneratorConfig, hw: int,
             and not cfg.softplus
             and cfg.num_layers == 2 and cfg.n_out <= 8
             and hw_tiles_ok(hw))
+
+
+def _colored_coords(coords: jnp.ndarray, pt: int) -> jnp.ndarray:
+    """Chunk-permute coords for the colored family so every Pt-row tile
+    is a self-contained (mean rows, logvar rows) pair.
+
+    Image pixels [s, s+Pt) need decoder rows [s/2, s/2+Pt/2) (their
+    means) and [HW/2+s/2, HW/2+s/2+Pt/2) (their logvars) — see the
+    module docstring.  With s = t*Pt both are contiguous Pt/2-chunks of
+    the two coord halves, so the permutation is a pure reshape/stack
+    (no gather).  Pt/2 >= 128 keeps the in-kernel split lane-aligned
+    (_pick_tile floors at 256)."""
+    hw = coords.shape[0]
+    t = hw // pt
+    half = pt // 2
+    first = coords[: hw // 2].reshape(t, half, 2)
+    second = coords[hw // 2:].reshape(t, half, 2)
+    return jnp.stack([first, second], axis=1).reshape(hw, 2)
+
+
+def _colored_targets(y: jnp.ndarray, hw: int) -> jnp.ndarray:
+    """(B, HW[, 1]) image targets -> (B, 2, HW/2) pre-paired tiles:
+    out[b, c, u] = y[b, 2u + c] — image pixel 2u+c's target sits at the
+    lane its (mu, logvar) head outputs occupy (channel c, position u)."""
+    b = y.shape[0]
+    return y.reshape(b, hw // 2, 2).swapaxes(1, 2)
 
 
 class _Phases:
@@ -319,9 +367,40 @@ class _Phases:
             yt = (yt_raw.astype(jnp.float32) + 128.0) * (1.0 / 255.0)
         else:
             yt = yt_raw.astype(jnp.float32)
-        m = (None if self.mask_ref is None
-             else self.mask_ref[0:1, :].astype(jnp.float32))  # (1, Pt)
-        if self.family == "gaussian":
+        # mask tile: (1, Pt) pixel-major row for bernoulli/gaussian;
+        # colored reads the full (2, Pt/2) pre-paired tile instead
+        m = (None if self.mask_ref is None or self.family == "colored"
+             else self.mask_ref[0:1, :].astype(jnp.float32))
+        if self.family == "colored":
+            # particles --fit-noise (train_particles.py:102-137): under
+            # the chunk-permuted coords the (2, Pt) head output splits at
+            # the lane midpoint into mu | logvar for the SAME image
+            # pixels; yt/mask arrive pre-paired as (2, Pt/2) tiles.  Both
+            # head channels pass the generator's unconditional sigmoid
+            # (models.py:85) — the reference quirk that puts logvar in
+            # (0, 1), so var in (1, e) and d/var is finite everywhere;
+            # mu saturation zeroes dmu through the mu*(1-mu) factor.
+            # loss = 0.5*sum(mask*(d^2/var + logvar)), matching the XLA
+            # path (objectives/elbo.py colored branch) exactly.
+            half = self.z2.shape[1] // 2
+            mu = jax.nn.sigmoid(self.z2[:, :half])           # (2, Pt/2)
+            lv = jax.nn.sigmoid(self.z2[:, half:])
+            mc = (None if self.mask_ref is None
+                  else self.mask_ref[:, :].astype(jnp.float32))
+            vinv = jnp.exp(-lv)
+            d = mu - yt                                      # (2, Pt/2)
+            w = d * vinv
+            per = d * w + lv
+            if mc is not None:
+                per = per * mc
+            self.bce = 0.5 * jnp.sum(per)
+            dmu = w * (mu * (1.0 - mu))
+            dlv = 0.5 * (1.0 - d * w) * (lv * (1.0 - lv))
+            if mc is not None:
+                dmu = dmu * mc
+                dlv = dlv * mc
+            dz2 = jnp.concatenate([dmu, dlv], axis=1)        # (2, Pt)
+        elif self.family == "gaussian":
             # particles likelihood (train_particles.py:126-139): the
             # generator's sigmoid output IS y_mu (models.py:85 appends
             # nn.Sigmoid unconditionally), loss = 0.5*sum(mask*(s-y)^2),
@@ -926,17 +1005,29 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t, mask=None,
         pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
         pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
         pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
-        pl.BlockSpec((n_img, n_out, pt), lambda i, j: (i, 0, j),
-                     memory_space=vm),
+        # colored targets arrive pre-paired as (B, 2, HW/2) — each tile
+        # is the (2, Pt/2) block matching the head output's lane split
+        pl.BlockSpec((n_img, n_out, pt // 2 if family == "colored"
+                      else pt), lambda i, j: (i, 0, j), memory_space=vm),
     ]
+    if family == "colored":
+        assert n_out == 2 and y_t.shape[1:] == (2, hw // 2), y_t.shape
     operands = [x3, fold, w1q, sw, h1s, w1q4, s4, b1, wht_op, bht, y_t]
     has_mask = mask is not None
     if has_mask:
         # per-pixel mask tile, present ONLY in masked traces (adding an
         # always-there unused operand broke XLA-side fusion in round 2)
-        in_specs.append(pl.BlockSpec((1, pt), lambda i, j: (0, j),
-                                     memory_space=vm))
-        operands.append(mask.reshape(1, hw).astype(jnp.float32))
+        if family == "colored":
+            # pre-paired like the targets: m[c, u] masks image pixel 2u+c
+            in_specs.append(pl.BlockSpec((2, pt // 2),
+                                         lambda i, j: (0, j),
+                                         memory_space=vm))
+            operands.append(mask.reshape(hw // 2, 2).T
+                            .astype(jnp.float32))
+        else:
+            in_specs.append(pl.BlockSpec((1, pt), lambda i, j: (0, j),
+                                         memory_space=vm))
+            operands.append(mask.reshape(1, hw).astype(jnp.float32))
     return pl.pallas_call(
         functools.partial(_kernel, i4=i4, grad_mode=grad_mode,
                           mxu_build=mxu_build, n_img=n_img,
@@ -1048,11 +1139,20 @@ def fused_bce_spatial_int8(params, cfg: SpatialGeneratorConfig,
     hidden = params["layers"][0]
     head = params["layers"][1]
     hw = coords.shape[0]
+    if family == "colored":
+        # chunk-permute so each pixel tile carries its own mu AND logvar
+        # rows (see module docstring); tile choice must match the
+        # kernel's (_pick_tile consults the same KernelConfig)
+        coords = _colored_coords(coords.astype(jnp.float32),
+                                 _pick_tile(hw))
     if y_t is None:
         b = y.shape[0]
         # the kernel casts target tiles to f32 at use — keep the batch in
         # its compute dtype to halve the DMA
-        y_t = y.reshape(b, hw, -1).swapaxes(1, 2)
+        if family == "colored":
+            y_t = _colored_targets(y, hw)
+        else:
+            y_t = y.reshape(b, hw, -1).swapaxes(1, 2)
     return fused_decoder_bce_int8(fold, coords, hidden["w"], hidden["b"],
                                   head["w"].T, head["b"], y_t, mask,
                                   family, interpret)

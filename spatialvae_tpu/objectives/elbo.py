@@ -118,8 +118,13 @@ def fused_loss_active(ecfg: ElboConfig, p_cfg, hw: int, batch: int) -> bool:
     gather pre-transposed (B, C, HW) target batches."""
     if ecfg.vanilla or not (ecfg.fused and ecfg.int8 and ecfg.fused_loss):
         return False
-    if (ecfg.likelihood not in ("bernoulli", "gaussian")
+    if (ecfg.likelihood not in ("bernoulli", "gaussian", "colored")
             or not ecfg.use_fold or batch % 2):
+        return False
+    if ecfg.likelihood == "colored" and not ecfg.fit_noise_interleaved:
+        # the kernel implements the reference's interleaved mu/logvar
+        # split (train_particles.py:107-110); the per-channel variant
+        # (a library extension) keeps the XLA path
         return False
     if not can_fold(p_cfg):
         return False
@@ -219,9 +224,10 @@ def elbo_minibatch(
     # ---- fused int8 decode+loss+backward fast path --------------------------
     # one Pallas kernel computes the reconstruction log-likelihood AND its
     # gradients (kernels/fused_loss_int8.py); the decode never materialises.
-    # Covers bernoulli (BCE) and gaussian (particles half-sum-of-squares,
-    # train_particles.py:139) with an optional pixel mask (:126-133); the
-    # colored (--fit-noise) family and CTF runs take the XLA path below
+    # Covers bernoulli (BCE), gaussian (particles half-sum-of-squares,
+    # train_particles.py:139) and colored (--fit-noise sq/var + logvar,
+    # :102-137, round 5), each with an optional pixel mask (:126-133);
+    # CTF runs take the XLA path below (the FFT stays in XLA)
     fused_loss_path = (not want_y_hat and ctf is None
                        and fused_loss_active(ecfg, p_cfg, coords.shape[0],
                                              b))
@@ -256,9 +262,9 @@ def elbo_minibatch(
             loss = fused_bce_spatial_int8(p_params, p_cfg, coords, theta,
                                           dx, z, y, y_t=y_t, mask=mask,
                                           family=ecfg.likelihood)
-        # bernoulli: -(sum BCE)/B; gaussian: -0.5*sum(mask*(mu-y)^2)/B —
-        # both are exactly the XLA paths' log_p (train_mnist.py:81,
-        # train_particles.py:139)
+        # bernoulli: -(sum BCE)/B; gaussian: -0.5*sum(mask*(mu-y)^2)/B;
+        # colored: -0.5*sum(mask*(sq/var + logvar))/B — all exactly the
+        # XLA paths' log_p (train_mnist.py:81, train_particles.py:136-139)
         if pixel_axis is not None:
             # pixel tiles are conditionally independent given the pose:
             # the per-shard partial sums to the full loss (parallel/pixel

@@ -56,6 +56,11 @@ def make_pixel_sharded_loss(p_cfg, mesh, *, axis: str = "model",
     )
     from spatialvae_tpu.models.spatial import fold_pose_into_first_layer
 
+    # the colored family cannot pixel-shard: its chunk-permuted coords
+    # pair every pixel with rows from the other coordinate half, which a
+    # contiguous HW shard does not hold (fused_loss_int8 module docstring)
+    assert family in ("bernoulli", "gaussian"), family
+
     def loss(p_params, coords, theta, dx, z, y_t, mask=None):
         """NOTE: call under jit (shard_map placement of uncommitted
         eager arrays raises a sharding-override error otherwise)."""

@@ -131,12 +131,17 @@ def _probe_255_grid(a):
     return (jnp.max(jnp.abs(scaled - q)), jnp.min(q), jnp.max(q))
 
 
-@partial(jax.jit, static_argnums=1)
-def _build_yt_i8(a, hw: int):
+@partial(jax.jit, static_argnums=(1, 2))
+def _build_yt_i8(a, hw: int, colored: bool = False):
     """(N, C, HW) int8 target copy of /255-grid data, stored as k-128
-    (the fused kernel dequants in its p3 pass)."""
+    (the fused kernel dequants in its p3 pass).  ``colored`` stores the
+    fit-noise pre-paired layout (N, 2, HW/2) instead — out[n, c, u] =
+    a[n, 2u+c], matching the kernel's lane-split head output."""
     q = jnp.round(a.astype(jnp.float32) * 255.0) - 128.0
-    return q.astype(jnp.int8).reshape(a.shape[0], hw, -1).swapaxes(1, 2)
+    q = q.astype(jnp.int8)
+    if colored:
+        return q.reshape(a.shape[0], hw // 2, 2).swapaxes(1, 2)
+    return q.reshape(a.shape[0], hw, -1).swapaxes(1, 2)
 
 
 def _pixel_spmd_ok(mesh, ecfg, p_cfg, tcfg, hw: int) -> bool:
@@ -145,6 +150,12 @@ def _pixel_spmd_ok(mesh, ecfg, p_cfg, tcfg, hw: int) -> bool:
     kernel must be active for the PER-SHARD shapes (batch split over
     'data', HW split over 'model')."""
     if mesh is None or mesh.shape.get("model", 1) <= 1 or not ecfg.fused:
+        return False
+    if ecfg.likelihood == "colored":
+        # the colored kernel's chunk-permuted coords pair each pixel
+        # with rows from the OTHER coordinate half — a contiguous HW
+        # shard does not contain its partners, so colored configs keep
+        # the GSPMD fallback on model-axis meshes
         return False
     nd = mesh.shape.get("data", 1)
     nm = mesh.shape["model"]
@@ -667,8 +678,15 @@ class Trainer:
         err, qmin, qmax = (float(v) for v in _probe_255_grid(src))
         on_grid = err < 1e-3 and qmin >= 0.0 and qmax <= 255.0
 
+        # the colored (fit-noise) kernel wants the pre-paired layout
+        # (N, 2, HW/2): y_t[n, c, u] = y[n, 2u+c] (fused_loss_int8
+        # module docstring)
+        colored = self.ecfg.likelihood == "colored"
         if on_grid:
-            yt = _build_yt_i8(src, hw)
+            yt = _build_yt_i8(src, hw, colored=colored)
+        elif colored:
+            yt = (src.reshape(n, hw // 2, 2).swapaxes(1, 2)
+                  .astype(self._compute_dtype))
         else:
             yt = (src.reshape(n, hw, -1).swapaxes(1, 2)
                   .astype(self._compute_dtype))

@@ -89,6 +89,47 @@ def test_colored_noise_elbo_matches_oracle():
     np.testing.assert_allclose(float(kl), k0, rtol=1e-4)
 
 
+def test_colored_fused_matches_xla_path(monkeypatch):
+    """The colored (--fit-noise) family rides the fused int8 loss kernel
+    since round 5; the fused elbo must match the XLA decode-then-loss
+    path, with and without a pixel mask, and the non-interleaved variant
+    (a library extension) must keep the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from spatialvae_tpu.objectives.elbo import fused_loss_active
+
+    # i8/tile isolates layout correctness from int4 forward noise; the
+    # default i4dw1 stack is covered by test_kernels_int8 family tests
+    monkeypatch.setenv("SPATIALVAE_INT4_GRADS", "i8")
+    monkeypatch.setenv("SPATIALVAE_GSCALE", "tile")
+    n = m = 32
+    q_cfg, p_cfg, qp, pp, y, r, coords = _setup(n=n, m=m, n_out=2)
+    yg, xg = np.ogrid[:n, :m]
+    dist = np.sqrt((n / 2 - yg) ** 2 + (m / 2 - xg) ** 2)
+    mask = jnp.asarray((dist < min(n, m) / 2).ravel().astype(np.float32))
+
+    ecfg = ElboConfig(theta_prior=np.pi, likelihood="colored",
+                      fused=True, int8=True)
+    assert fused_loss_active(ecfg, p_cfg, n * m, 4)
+    # the kernel implements the reference's interleaved split only
+    assert not fused_loss_active(
+        ElboConfig(theta_prior=np.pi, likelihood="colored", fused=True,
+                   int8=True, fit_noise_interleaved=False),
+        p_cfg, n * m, 4)
+
+    plain = ElboConfig(theta_prior=np.pi, likelihood="colored")
+    for mk in (None, mask):
+        with pltpu.force_tpu_interpret_mode():
+            elbo, logp, kl, _ = elbo_minibatch(qp, pp, q_cfg, p_cfg, ecfg,
+                                               coords, y, None, noise=r,
+                                               mask=mk)
+        e0, l0, k0, _ = elbo_minibatch(qp, pp, q_cfg, p_cfg, plain,
+                                       coords, y, None, noise=r, mask=mk)
+        np.testing.assert_allclose(float(logp), float(l0), rtol=2e-3)
+        np.testing.assert_allclose(float(kl), float(k0), rtol=1e-5)
+        np.testing.assert_allclose(float(elbo), float(e0), rtol=2e-3)
+
+
 def test_multichannel_elbo_matches_oracle():
     """galaxy variant: (B, HW, C) targets, BCE x (HW*C)."""
     q_cfg, p_cfg, qp, pp, y, r, coords = _setup(channels=3, n_out=3)

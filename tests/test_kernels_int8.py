@@ -218,13 +218,15 @@ def test_can_fuse_loss_int8_gating():
     from spatialvae_tpu.kernels.fused_loss_int8 import can_fuse_loss_int8
 
     good = SpatialGeneratorConfig(latent_dim=2, hidden_dim=500, num_layers=2)
+    good2 = SpatialGeneratorConfig(latent_dim=2, hidden_dim=500,
+                                   num_layers=2, n_out=2)
     assert can_fuse_loss_int8(good, 4096, "bernoulli")
     # gaussian (particles no-fit-noise) rides the kernel for the n_out=1
-    # head; fit-noise (n_out=2) and colored stay on the XLA path
+    # head; colored (fit-noise) for exactly the n_out=2 mu/logvar head
+    # (round 5) — each family rejects the other's head shape
     assert can_fuse_loss_int8(good, 4096, "gaussian")
-    assert not can_fuse_loss_int8(
-        SpatialGeneratorConfig(latent_dim=2, hidden_dim=500, num_layers=2,
-                               n_out=2), 4096, "gaussian")
+    assert not can_fuse_loss_int8(good2, 4096, "gaussian")
+    assert can_fuse_loss_int8(good2, 4096, "colored")
     assert not can_fuse_loss_int8(good, 4096, "colored")
     assert not can_fuse_loss_int8(good, 784, "bernoulli")   # not tile-aligned
     assert not can_fuse_loss_int8(
@@ -385,13 +387,19 @@ def test_fused_loss_int8_bound_gscale_close_to_tile(gmode, a1q, monkeypatch):
     # bernoulli+mask (library extension — previously an XLA fallback)
     ("bernoulli", True, "i8", "tile"),
     ("bernoulli", True, "i4dw1", "bound"),
+    # colored (particles --fit-noise, round 5): the interleaved mu/logvar
+    # split over chunk-permuted coords — ±mask, int8 and the shipping
+    # bound/i4dw1 stack
+    ("colored", False, "i8", "tile"),
+    ("colored", True, "i8", "tile"),
+    ("colored", True, "i4dw1", "bound"),
 ])
 def test_fused_loss_families_close_to_f32(family, masked, mode, gscale,
                                           monkeypatch):
-    """The gaussian family and the pixel mask must match the f32 folded
-    decode + XLA loss + autodiff within quantisation noise.  Bands follow
-    the bernoulli tests: tight for i8, loose toy-scale (H=32) for int4 —
-    the production gate is the ELBO-trajectory horizon."""
+    """The gaussian/colored families and the pixel mask must match the f32
+    folded decode + XLA loss + autodiff within quantisation noise.  Bands
+    follow the bernoulli tests: tight for i8, loose toy-scale (H=32) for
+    int4 — the production gate is the ELBO-trajectory horizon."""
     from spatialvae_tpu.kernels.fused_loss_int8 import fused_bce_spatial_int8
 
     monkeypatch.setenv("SPATIALVAE_INT4_GRADS", mode)
@@ -407,12 +415,25 @@ def test_fused_loss_families_close_to_f32(family, masked, mode, gscale,
     theta = jax.random.normal(ks[1], (b,)) * 0.5
     dx = jax.random.normal(ks[2], (b, 2)) * 0.1
     z = jax.random.normal(ks[3], (b, 4))
-    y = jax.random.uniform(ks[4], (b, hw, n_out))
+    # colored targets are the grayscale IMAGE (B, HW); the 2-channel head
+    # output is split into interleaved mu/logvar against it
+    y = jax.random.uniform(ks[4], (b, hw) if family == "colored"
+                           else (b, hw, n_out))
     mask = (jax.random.bernoulli(ks[5], 0.7, (hw,)).astype(jnp.float32)
             if masked else None)
 
     def loss_ref(p, th, d, zz):
         yh = spatial_generator_apply_folded(p, cfg, coords, th, d, zz)
+        if family == "colored":
+            # the reference fit-noise quirk (train_particles.py:107-110):
+            # flatten (B, HW, 2) row-major, first HW entries are y_mu
+            yp = yh.reshape(b, -1)
+            y_mu = yp[:, :hw]
+            y_logvar = yp[:, hw:]
+            per = (y_mu - y) ** 2 / jnp.exp(y_logvar) + y_logvar
+            if mask is not None:
+                per = per * mask[None, :]
+            return 0.5 * jnp.sum(per)
         if family == "gaussian":
             per = (yh - y) ** 2
             if mask is not None:
@@ -436,6 +457,12 @@ def test_fused_loss_families_close_to_f32(family, masked, mode, gscale,
         params, theta, dx, z)
 
     val_band = 1e-3 if mode == "i8" else 5e-3
+    if family == "colored" and mode != "i8":
+        # the sq/var + logvar loss runs the 4-bit forward noise through
+        # exp/divide, and H=32 averages it over 16x fewer hidden units
+        # than production — measured 0.60% here vs <=0.5% for the linear
+        # families; the production gate is the ELBO horizon
+        val_band = 1e-2
     rel_band = 5e-2 if mode == "i8" else 0.6
     cos_band = 0.995 if mode == "i8" else 0.9
     assert abs(float(v_f - v_ref) / float(v_ref)) < val_band
@@ -519,6 +546,22 @@ def test_dataset_yt_grid_detection():
 
     off = tr._dataset_yt(ArrayDataset(u))
     assert off.dtype == jnp.bfloat16
+
+    # colored (fit-noise) trainers store the pre-paired (N, 2, HW/2)
+    # layout: yt[n, c, u] = y[n, 2u+c] (fused_loss_int8 module docstring)
+    cfg2 = SpatialGeneratorConfig(latent_dim=3, hidden_dim=32, n_out=2,
+                                  num_layers=2)
+    ecfg2 = ElboConfig(theta_prior=np.pi, likelihood="colored",
+                       fused=True, int8=True)
+    tr2 = Trainer(q_cfg, cfg2, ecfg2, tcfg, coord_grid(n, m))
+    ytc = tr2._dataset_yt(ArrayDataset(grid))
+    assert ytc.dtype == jnp.int8 and ytc.shape == (16, 2, n * m // 2)
+    backc = (ytc.astype(jnp.float32) + 128.0) / 255.0
+    np.testing.assert_allclose(
+        np.asarray(backc), np.asarray(grid.reshape(16, -1, 2)
+                                      .swapaxes(1, 2)), rtol=0, atol=1e-7)
+    offc = tr2._dataset_yt(ArrayDataset(u))
+    assert offc.dtype == jnp.bfloat16 and offc.shape == (16, 2, n * m // 2)
 
 
 @pytest.mark.skipif(
@@ -622,6 +665,55 @@ def test_elbo_fused_loss_path_matches_plain_int8_off():
                                         int8=True),
                              coords, y, None, noise=noise, want_y_hat=True)
     assert e_y[3] is not None and e_y[3].shape == (4, n * m, 1)
+
+
+def test_trainer_colored_fused_epoch_close_to_plain(monkeypatch):
+    """Trainer-level colored (--fit-noise) integration: one epoch on the
+    fused int8 kernel path (interpret) vs the plain XLA trainer on the
+    SAME /255-grid masked data — exercises _dataset_yt's pre-paired int8
+    layout, the in-scan gather, and the kernel end-to-end."""
+    from spatialvae_tpu.core.config import InferenceConfig
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+
+    monkeypatch.setenv("SPATIALVAE_INTERPRET", "1")
+    monkeypatch.setenv("SPATIALVAE_INT4_GRADS", "i8")
+    monkeypatch.setenv("SPATIALVAE_GSCALE", "tile")
+    # the i8/tile overrides are off the validated default stack, which the
+    # Trainer guard rejects without the measurement opt-in
+    monkeypatch.setenv("SPATIALVAE_ALLOW_KNOBS", "1")
+    n = m = 32
+    cfg = SpatialGeneratorConfig(latent_dim=3, hidden_dim=32, n_out=2,
+                                 num_layers=2)
+    q_cfg = InferenceConfig(n=n * m, latent_dim=6, hidden_dim=16,
+                            num_layers=2)
+    coords = coord_grid(n, m)
+    r2 = np.sum(np.asarray(coords) ** 2, axis=1)
+    mask = (r2 <= 1.0).astype(np.float32)
+    tcfg = TrainConfig(minibatch_size=8, num_epochs=1, seed=0,
+                       compute_dtype="float32", image_shape=(n, m))
+    y = jnp.round(jax.random.uniform(jax.random.PRNGKey(5), (16, n * m))
+                  * 255.0) / 255.0
+    ds = ArrayDataset(y)
+
+    base = dict(theta_prior=np.pi, likelihood="colored")
+    t_plain = Trainer(q_cfg, cfg, ElboConfig(**base), tcfg, coords,
+                      mask=mask)
+    t_fused = Trainer(q_cfg, cfg, ElboConfig(fused=True, int8=True,
+                                             **base), tcfg, coords,
+                      mask=mask)
+    # matched init so the epoch trajectories are comparable — COPIED
+    # leaves: the epoch scan donates its TrainState buffers, so sharing
+    # the pytree would leave the other trainer with deleted arrays
+    t_fused.state = jax.tree_util.tree_map(jnp.array, t_plain.state)
+    assert t_fused._wants_yt(ds)
+    mp = t_plain.train_epoch(ds, 0, progress=False)
+    mf = t_fused.train_epoch(ds, 0, progress=False)
+    # int8 decode noise only (i8/tile): per-epoch means track tightly
+    np.testing.assert_allclose(mf[0], mp[0], rtol=3e-3)
+    np.testing.assert_allclose(mf[1], mp[1], rtol=3e-3)
+    np.testing.assert_allclose(mf[2], mp[2], rtol=3e-3)
 
 
 @pytest.mark.parametrize("masked", [False, True])

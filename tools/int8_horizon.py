@@ -91,13 +91,15 @@ def run(epochs: int, batch: int, steps: int, int8: bool, data: str = "fields",
     from spatialvae_tpu.transforms.coords import coord_grid
 
     n = m = 64
-    # gaussian = the particles workload: grayscale, optional circular mask
-    channels = 1 if likelihood == "gaussian" else 3
+    # gaussian/colored = the particles workloads: grayscale, optional
+    # circular mask; colored is --fit-noise (n_out=2 mu/logvar head)
+    channels = 1 if likelihood in ("gaussian", "colored") else 3
     z_dim = 20
     q_cfg = InferenceConfig(n=n * m * channels, latent_dim=z_dim + 3,
                             hidden_dim=5000, num_layers=2)
     p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=500,
-                                   n_out=channels, num_layers=2)
+                                   n_out=2 if likelihood == "colored"
+                                   else channels, num_layers=2)
     ecfg = ElboConfig(rotate=True, translate=True, theta_prior=np.pi,
                       likelihood=likelihood, channels=channels, fused=True,
                       int8=int8)
