@@ -517,6 +517,40 @@ def test_fused_loss_int8_grid_targets_match_float(monkeypatch):
                                    rtol=1e-3, atol=2e-4)
 
 
+def test_colored_coords_and_targets_pairing():
+    """Brute-force check of the colored chunk permutation: for every
+    image pixel j in tile t, the kernel reads its MEAN from permuted row
+    t*Pt + (j - t*Pt)//2 ... first half, channel j%2, and its LOGVAR
+    from the same position in the tile's second half — i.e. permuted
+    coords must satisfy xp[t*Pt + q] == coords[t*Pt/2 + q] (mean rows)
+    and xp[t*Pt + Pt/2 + q] == coords[HW/2 + t*Pt/2 + q] (logvar rows),
+    and targets yt[b, c, t*Pt/2 + q] == y[b, t*Pt + 2q + c]."""
+    from spatialvae_tpu.kernels.fused_loss_int8 import (
+        _colored_coords,
+        _colored_targets,
+    )
+
+    hw, pt, b = 2048, 512, 2
+    coords = jnp.arange(hw * 2, dtype=jnp.float32).reshape(hw, 2)
+    xp = np.asarray(_colored_coords(coords, pt))
+    cn = np.asarray(coords)
+    half = pt // 2
+    for t in range(hw // pt):
+        for q in range(0, half, 37):
+            np.testing.assert_array_equal(xp[t * pt + q],
+                                          cn[t * half + q])
+            np.testing.assert_array_equal(xp[t * pt + half + q],
+                                          cn[hw // 2 + t * half + q])
+
+    y = jnp.arange(b * hw, dtype=jnp.float32).reshape(b, hw)
+    yt = np.asarray(_colored_targets(y, hw))
+    yn = np.asarray(y)
+    assert yt.shape == (b, 2, hw // 2)
+    for u in range(0, hw // 2, 61):
+        for c in range(2):
+            np.testing.assert_array_equal(yt[:, c, u], yn[:, 2 * u + c])
+
+
 def test_dataset_yt_grid_detection():
     """trainer._dataset_yt stores int8 targets for /255-grid data and the
     compute-dtype copy for off-grid data."""
