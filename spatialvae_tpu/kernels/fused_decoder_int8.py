@@ -23,6 +23,8 @@ configs fall back to the bf16 fused kernel or XLA.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -56,7 +58,11 @@ def _quant_sym(w: jnp.ndarray):
 
 
 def _fwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, bht_ref,
-                y_ref, a1_ref):
+                y_ref, *acts_rest):
+    # acts_rest holds the (1, Pt, H) a1 residual ref iff the VJP chose
+    # the residual backward (fused_decoder.py module docstring — the
+    # adaptive choice is shared policy; _save_acts is imported from there)
+    a1_ref = acts_rest[0] if acts_rest else None
     x0 = x_ref[:, 0:1]
     x1 = x_ref[:, 1:2]
     w0 = f_ref[0, 0:1, :]
@@ -82,11 +88,20 @@ def _fwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, bht_ref,
         precision=jax.lax.Precision.DEFAULT)
     z2t = z2t + bht_ref[:, 0:1].astype(jnp.float32)
     y_ref[0] = jax.nn.sigmoid(z2t)
-    a1_ref[0] = a1.astype(a1_ref.dtype)
+    if a1_ref is not None:
+        a1_ref[0] = a1.astype(a1_ref.dtype)
 
 
-def _bwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, wht_ref, a1_ref, y_ref,
-                g_ref, df_ref, dw1_ref, db1_ref, dwht_ref, dbht_ref):
+def _bwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, b1_ref, wht_ref, *rest,
+                save_acts: bool):
+    if save_acts:
+        a1_ref, y_ref, g_ref = rest[:3]
+        outs = rest[3:]
+    else:
+        a1_ref = None
+        y_ref, g_ref = rest[:2]
+        outs = rest[2:]
+    df_ref, dw1_ref, db1_ref, dwht_ref, dbht_ref = outs
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -99,7 +114,22 @@ def _bwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, wht_ref, a1_ref, y_ref,
     h0 = x0 * w0r + x1 * w1r + cr
     a0 = jnp.tanh(h0)
     a0q = jnp.round(a0 * 127.0).astype(jnp.int8)
-    a1 = a1_ref[0].astype(jnp.float32)
+    if save_acts:
+        a1 = a1_ref[0].astype(jnp.float32)
+    else:
+        # capacity path (fused_decoder._save_acts said no): rebuild a1
+        # instead of reading a residual — the saved (B, HW, H) bf16 tile
+        # is 16 GB at B=4096/HW=4096/H=500, an OOM against 15.75 GB of
+        # HBM — at the cost of ONE extra int8 MXU GEMM per tile.  The
+        # int8 ops are deterministic, so the rebuilt a1 is bit-identical
+        # to the forward's.
+        acc = jax.lax.dot_general(
+            a0q, w1q_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT)
+        h1 = (acc.astype(jnp.float32) * (sw_ref[0, 0] * (1.0 / 127.0))
+              + b1_ref[0:1, :])
+        a1 = jnp.tanh(h1)
 
     s = y_ref[0]
     dz2t = g_ref[0] * s * (1.0 - s)
@@ -164,13 +194,22 @@ def _bwd_kernel(x_ref, f_ref, w1q_ref, sw_ref, wht_ref, a1_ref, y_ref,
         df_ref[:, :, :] += dfold
 
 
-def _fwd_pallas(fold, coords, w1q, sw, b1, wht, bht):
+def _fwd_pallas(fold, coords, w1q, sw, b1, wht, bht, emit_acts=False):
     b, _, h = fold.shape
     hw = coords.shape[0]
     n_out = wht.shape[0]
     pt = _pick_tile(hw, backward=False)
     grid = (b, hw // pt)
     vm = pltpu.VMEM
+    out_specs = pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
+                             memory_space=vm)
+    out_shape = jax.ShapeDtypeStruct((b, n_out, hw), jnp.float32)
+    if emit_acts:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, pt, h), lambda i, j: (i, j, 0),
+                                  memory_space=vm))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, hw, h), jnp.bfloat16))
     return pl.pallas_call(
         _fwd_kernel,
         grid=grid,
@@ -184,27 +223,22 @@ def _fwd_pallas(fold, coords, w1q, sw, b1, wht, bht):
             pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
             pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
         ],
-        out_specs=(
-            pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
-                         memory_space=vm),
-            pl.BlockSpec((1, pt, h), lambda i, j: (i, j, 0),
-                         memory_space=vm),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n_out, hw), jnp.float32),
-            jax.ShapeDtypeStruct((b, hw, h), jnp.bfloat16),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
     )(coords, fold, w1q, sw, b1, wht, bht)
 
 
-def _bwd_pallas(fold, coords, w1q, sw, wht, a1, y, g):
+def _bwd_pallas(fold, coords, w1q, sw, b1, wht, a1, y, g):
+    """``a1`` is the saved (B, HW, H) bf16 residual, or None for the
+    recompute variant."""
     b, _, h = fold.shape
     hw = coords.shape[0]
     n_out = wht.shape[0]
     pt = _pick_tile(hw, backward=True)
     grid = (b, hw // pt)
     vm = pltpu.VMEM
+    save_acts = a1 is not None
     out_shapes = (
         jax.ShapeDtypeStruct((b, 4, h), jnp.float32),
         jax.ShapeDtypeStruct((h, h), jnp.float32),
@@ -219,49 +253,72 @@ def _bwd_pallas(fold, coords, w1q, sw, wht, a1, y, g):
         pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
         pl.BlockSpec((n_out, 1), lambda i, j: (0, 0), memory_space=vm),
     )
+    in_specs = [
+        pl.BlockSpec((pt, 2), lambda i, j: (j, 0), memory_space=vm),
+        pl.BlockSpec((1, 4, h), lambda i, j: (i, 0, 0), memory_space=vm),
+        pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=vm),
+        pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
+    ]
+    operands = [coords, fold, w1q, sw, b1, wht]
+    if save_acts:
+        in_specs.append(pl.BlockSpec((1, pt, h), lambda i, j: (i, j, 0),
+                                     memory_space=vm))
+        operands.append(a1)
+    in_specs += [
+        pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
+                     memory_space=vm),
+        pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
+                     memory_space=vm),
+    ]
+    operands += [y, g]
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, save_acts=save_acts),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((pt, 2), lambda i, j: (j, 0), memory_space=vm),
-            pl.BlockSpec((1, 4, h), lambda i, j: (i, 0, 0), memory_space=vm),
-            pl.BlockSpec((h, h), lambda i, j: (0, 0), memory_space=vm),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_out, h), lambda i, j: (0, 0), memory_space=vm),
-            pl.BlockSpec((1, pt, h), lambda i, j: (i, j, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
-                         memory_space=vm),
-            pl.BlockSpec((1, n_out, pt), lambda i, j: (i, 0, j),
-                         memory_space=vm),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
-    )(coords, fold, w1q, sw, wht, a1, y, g)
+    )(*operands)
 
 
 @jax.custom_vjp
 def fused_decoder_tail_int8(fold, coords, w1, b1, wht, bht):
     w1q, sw = _quant_sym(w1)
-    y, _ = _fwd_pallas(fold, coords, w1q, sw, b1[None, :], wht, bht[:, None])
-    return y
+    return _fwd_pallas(fold, coords, w1q, sw, b1[None, :], wht,
+                       bht[:, None])
 
 
 def _vjp_fwd(fold, coords, w1, b1, wht, bht):
+    from spatialvae_tpu.kernels.fused_decoder import _save_acts
+
     w1q, sw = _quant_sym(w1)
-    y, a1 = _fwd_pallas(fold, coords, w1q, sw, b1[None, :], wht,
+    b, _, h = fold.shape
+    hw = coords.shape[0]
+    if _save_acts(b, hw, h, 1, jnp.bfloat16):
+        # residual path: saving a1 is faster than rebuilding it (the DMA
+        # overlaps compute — fused_decoder.py module docstring)
+        y, a1 = _fwd_pallas(fold, coords, w1q, sw, b1[None, :], wht,
+                            bht[:, None], emit_acts=True)
+    else:
+        # capacity path: the backward rebuilds a1 from a0q/w1q/b1
+        # bit-identically (one extra int8 GEMM per tile) instead of
+        # round-tripping a residual that would OOM HBM (round 5)
+        y = _fwd_pallas(fold, coords, w1q, sw, b1[None, :], wht,
                         bht[:, None])
+        a1 = jnp.zeros((0,), jnp.bfloat16)
     # zero-size dtype sentinels keep the residual pytree array-only
-    return y, (fold, coords, w1q, sw, wht, a1, y,
+    return y, (fold, coords, w1q, sw, b1[None, :], wht, a1, y,
                jnp.zeros((0,), w1.dtype), jnp.zeros((0,), b1.dtype))
 
 
 def _vjp_bwd(res, g):
-    fold, coords, w1q, sw, wht, a1, y, w1_s, b1_s = res
+    fold, coords, w1q, sw, b1r, wht, a1, y, w1_s, b1_s = res
     dfold, dw1, db1, dwht, dbht = _bwd_pallas(
-        fold, coords, w1q, sw, wht, a1, y, g.astype(jnp.float32))
+        fold, coords, w1q, sw, b1r, wht, a1 if a1.size else None, y,
+        g.astype(jnp.float32))
     return (dfold.astype(fold.dtype), None, dw1.astype(w1_s.dtype),
             db1[0].astype(b1_s.dtype), dwht.astype(wht.dtype),
             dbht[:, 0].astype(wht.dtype))

@@ -143,3 +143,65 @@ def test_fused_gradients_match_xla():
     for a, b in zip(flat_f, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fused_gradients_residual_and_recompute_variants(monkeypatch):
+    """The VJP's adaptive activation handling (round 5): the residual
+    backward (default at test shapes) and the recompute backward (forced
+    by shrinking _RESIDUAL_BYTES_MAX) must produce the same gradients —
+    the recompute's MXU operands are bit-identical; only the tanh'
+    factors gain f32 precision."""
+    import spatialvae_tpu.kernels.fused_decoder as fd
+
+    for resid, layers in ((False, 2), (True, 3)):
+        cfg, params, coords, theta, dx, z = _setup(num_layers=layers,
+                                                   resid=resid)
+
+        def loss(params, theta, dx, z, cfg=cfg):
+            y = fused_spatial_generator(params, cfg, coords, theta, dx, z)
+            return jnp.sum(jnp.sin(3.0 * y))
+
+        with pltpu.force_tpu_interpret_mode():
+            g_res = jax.grad(loss, argnums=(0, 1, 2, 3))(
+                params, theta, dx, z)
+            monkeypatch.setattr(fd, "_RESIDUAL_BYTES_MAX", 0)
+            g_rec = jax.grad(loss, argnums=(0, 1, 2, 3))(
+                params, theta, dx, z)
+            monkeypatch.undo()
+        for a, b in zip(jax.tree_util.tree_leaves(g_res),
+                        jax.tree_util.tree_leaves(g_rec)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_int8_decoder_recompute_variant_matches_residual(monkeypatch):
+    """Same adaptive check for the int8 decoder.  The residual stores a1
+    in bf16 while the recompute rebuilds it in f32, so the tanh' factor
+    and the per-tile gradient-quant scale differ at bf16 resolution —
+    that flips a few int8 rounding boundaries, hence int8-style bands
+    (max-rel vs max|ref| + cosine) rather than elementwise closeness."""
+    import spatialvae_tpu.kernels.fused_decoder as fd
+    from spatialvae_tpu.kernels.fused_decoder_int8 import (
+        fused_spatial_generator_int8,
+    )
+
+    cfg, params, coords, theta, dx, z = _setup()
+
+    def loss(params, theta, dx, z):
+        y = fused_spatial_generator_int8(params, cfg, coords, theta, dx, z)
+        return jnp.sum(jnp.sin(3.0 * y))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_res = jax.grad(loss, argnums=(0, 1, 2, 3))(params, theta, dx, z)
+        monkeypatch.setattr(fd, "_RESIDUAL_BYTES_MAX", 0)
+        g_rec = jax.grad(loss, argnums=(0, 1, 2, 3))(params, theta, dx, z)
+        monkeypatch.undo()
+    for a, b in zip(jax.tree_util.tree_leaves(g_res),
+                    jax.tree_util.tree_leaves(g_rec)):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+        assert rel < 5e-2, rel
+        denom = np.linalg.norm(a.ravel()) * np.linalg.norm(b.ravel())
+        if denom > 1e-8:
+            assert float(a.ravel() @ b.ravel() / denom) > 0.999

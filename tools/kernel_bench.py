@@ -396,8 +396,8 @@ def main():
 
     # ---- the shipping forward/backward ------------------------------------
     def fwd_full(f, x):
-        y, a1 = _fwd_pallas(f, x, w1q, sw, b1[None, :], wht, bht[:, None])
-        return y
+        # round 5: the forward no longer emits an activation residual
+        return _fwd_pallas(f, x, w1q, sw, b1[None, :], wht, bht[:, None])
 
     # ---- pipelined forward prototype: sub-tiles + double-buffered acc ----
     def make_fwdpipe(S):
@@ -697,12 +697,14 @@ def main():
 
     if not (want("bwd")):
         return
-    y_, a1_ = _fwd_pallas(fold, coords, w1q, sw, b1[None, :], wht,
-                          bht[:, None])
+    y_ = _fwd_pallas(fold, coords, w1q, sw, b1[None, :], wht,
+                     bht[:, None])
     y_ = jax.block_until_ready(y_)
 
     def bwd_full(f, x):
-        outs = _bwd_pallas(f, x, w1q, sw, wht, a1_, y_, g)
+        # round 5: measure the recompute (capacity-path) backward — pass
+        # a1=None so it rebuilds the hidden in-kernel
+        outs = _bwd_pallas(f, x, w1q, sw, b1[None, :], wht, None, y_, g)
         return outs[0]
 
     if want("bwd") and not want("bwd-"):
@@ -792,6 +794,10 @@ def main():
         return bwdfix(f, x)[0]
 
     if want("bwd-fixscale"):
+        # the shipping backward recomputes a1 (round 5); this legacy probe
+        # still reads a residual, so synthesize one at the old shape
+        a1_ = jnp.tanh(jax.random.normal(ks[7], (B, HW, H))
+                       ).astype(jnp.bfloat16)
         scan_time("bwd-fixscale", bwdfix_fn, (fold, coords), iters)
 
 
