@@ -1079,10 +1079,12 @@ def fused_decoder_bce_int8(fold, coords, w1, b1, wht, bht, y_t,
     mask*(sigmoid(head) - y)^2) (the particles likelihood — the reference
     generator sigmoids unconditionally, models.py:85).
 
-    fold: (B, 4, H) rows [w0, w1, c, 0]; coords: (HW, 2), HW tile-aligned;
+    fold: (B, 4, H) rows [w0, w1, c, 0]; coords: (HW, 2), HW tile-aligned
+    (for 'colored': ALREADY chunk-permuted via _colored_coords);
     w1: (H, H); b1: (H,); wht: (n_out, H) pre-transposed head;
-    bht: (n_out,); y_t: (B, n_out, HW) targets; mask: optional (HW,)
-    {0,1} pixel mask (train_particles.py:126-133).
+    bht: (n_out,); y_t: (B, n_out, HW) targets — for 'colored' the
+    pre-paired (B, 2, HW/2) layout (_colored_targets); mask: optional
+    (HW,) {0,1} pixel mask (train_particles.py:126-133).
 
     The VJP scales the precomputed gradients by the scalar cotangent, so it
     is exact for any scalar downstream of the returned sum (the training
