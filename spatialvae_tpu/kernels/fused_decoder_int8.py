@@ -280,6 +280,11 @@ def _bwd_pallas(fold, coords, w1q, sw, b1, wht, a1, y, g):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        # the 16 MB scoped-vmem default is a compiler heuristic, not the
+        # hardware (v5e has 128 MB/core); the b1 operand added for the
+        # recompute variant pushed the residual-path backward to 17.4 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
         interpret=_interpret(),
     )(*operands)
 
