@@ -214,6 +214,55 @@ def test_spmd_fused_loss_gaussian_mask_matches_single_device(monkeypatch):
         rtol=1e-5, atol=1e-7)
 
 
+def test_spmd_fused_loss_colored_matches_single_device(monkeypatch):
+    """Round-5 family extension: the colored (fit-noise) fused kernel —
+    chunk-permuted coords, pre-paired targets — inside the shard_map step
+    must match the single-device step (same data/keys)."""
+    monkeypatch.setenv("SPATIALVAE_INTERPRET", "1")
+
+    from spatialvae_tpu.core.config import (
+        InferenceConfig,
+        SpatialGeneratorConfig,
+    )
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.objectives.elbo import fused_loss_active
+    from spatialvae_tpu.train import Trainer, TrainConfig
+    from spatialvae_tpu.transforms.coords import coord_grid
+
+    n = m = 32
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    q_cfg = InferenceConfig(n=n * m, latent_dim=5, hidden_dim=16,
+                            num_layers=2)
+    p_cfg = SpatialGeneratorConfig(latent_dim=2, hidden_dim=16, n_out=2,
+                                   num_layers=2)
+    ecfg = ElboConfig(likelihood="colored", theta_prior=np.pi,
+                      fused=True, int8=True)
+    coords = coord_grid(n, m)
+    mask = (jnp.sum(jnp.asarray(coords) ** 2, axis=1)
+            <= 1.0).astype(jnp.float32)
+    tcfg = TrainConfig(minibatch_size=16, num_epochs=1, seed=0,
+                       image_shape=(n, m))
+    t = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mask=mask, mesh=mesh)
+    assert t._spmd
+    assert fused_loss_active(ecfg, p_cfg, n * m, 2)
+
+    step = make_spmd_train_step(t, mesh, fold_shard_key=lambda k, i: k)
+    y = jax.random.uniform(jax.random.PRNGKey(11), (2, n * m))
+    y_rep = jnp.tile(y, (8, 1))
+    key = jax.random.PRNGKey(4)
+    z = jnp.asarray(1.0, jnp.float32)
+    state_spmd, m_spmd = step(t.state, y_rep, None, key, z)
+
+    t1 = Trainer(q_cfg, p_cfg, ecfg, tcfg, coords, mask=mask)
+    state_ref, m_ref = t1._train_step(t1.state, y, None, key, z)
+    np.testing.assert_allclose(np.asarray(m_spmd), np.asarray(m_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state_spmd.params["p"]["coord"]["w"]),
+        np.asarray(state_ref.params["p"]["coord"]["w"]),
+        rtol=1e-5, atol=1e-7)
+
+
 def test_spmd_epoch_with_shadow_and_qshadow(monkeypatch):
     """The round-2 throughput stack (bf16 shadow params + Adam-emitted int8
     encoder weights + fused update_apply) now runs under the shard_map DP
