@@ -345,14 +345,16 @@ class _Phases:
         if self.a1q:
             acc2 = jax.lax.dot_general(                      # (No, Pt) i32
                 self.wht_ref[:, :], self.a1c, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
             # dequant: swht (per-tensor head scale) rides sw[0, 1]
             c = self.sw_ref[0, 1] * (1.0 / 127.0)
             z2 = acc2.astype(jnp.float32) * c
         else:
             z2 = jax.lax.dot_general(                        # (No, Pt)
                 self.wht_ref[:, :], self.a1c, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         self.z2 = z2 + self.bht_ref[:, 0:1].astype(jnp.float32)
 
     def p3_bce(self):                                        # VPU (tiny)
@@ -442,18 +444,21 @@ class _Phases:
         if self.a1q:
             dwht = jax.lax.dot_general(                      # (No, H) i32
                 self.dz2c, self.a1c, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
             self.dwht = dwht.astype(jnp.float32) * (self.sdz
                                                     * (1.0 / 127.0))
             # (0, 0) int8 contraction is legal (the dw1 precedent); the
             # raw i32 accumulator flows to p5, scales folded there
             self.da1 = jax.lax.dot_general(                  # (Pt, H) i32
                 self.dz2c, self.wht_ref[:, :], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
             return
         self.dwht = jax.lax.dot_general(                     # (No, H)
             self.dz2c, self.a1c, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         # NEGATIVE (round 3): emitting da1 bf16 straight from the matmul
         # (preferred_element_type=bfloat16, to halve p5's dominant read)
         # does not compile — 'tpu.matmul' op Expected matmul acc to be
@@ -461,7 +466,8 @@ class _Phases:
         # (same wall as the int16-acc probe, tools/probe_i16acc.py)
         da1 = jax.lax.dot_general(                           # (Pt, H)
             self.dz2c, self.wht_ref[:, :], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         # bound-gscale consumes the accumulator as-is: its single fused
         # p5 chain casts the tanh' factor up in-chain instead, so the
         # separate (Pt, H) bf16 cast pass here disappears
@@ -635,17 +641,20 @@ class _Phases:
             aqT = jnp.swapaxes(self.aq, 0, 1).astype(self.i4)   # (H, Pt)
             self.dw1 = jax.lax.dot_general(                  # (H, H) int4
                 aqT, self.dh1q_da0, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT
             ).astype(jnp.float32) * (self.sg * self.aq_inv)
         else:
             self.dw1 = jax.lax.dot_general(                  # (H, H) int8
                 self.aq, self.dh1q_dw1, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT
             ).astype(jnp.float32) * (self.sg * self.aq_inv)
         wk = self.w1q_ref if self.grad_mode == "i8" else self.w4s
         self.da0 = jax.lax.dot_general(                      # (Pt, H)
             self.dh1q_da0, wk[:, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
+            preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
 
     def p7_dh0(self):                                        # VPU
         # the gradient dequant scale (sg*sw) is NOT applied here: it is a
@@ -667,7 +676,8 @@ class _Phases:
         dfold = jax.lax.dot_general(                         # (4, H)
             self.x3_ref[:, :].astype(jnp.bfloat16), self.dh0,
             (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         dfold = dfold * self.dscale                          # deferred scale
         # stash the BCE partial in dfold[3, 0]: row 3 multiplies the
         # fold's zeros row, so its cotangent is discarded by autodiff
@@ -746,7 +756,8 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
             # overhead); kept behind SPATIALVAE_MXU_BUILD for re-testing.
             h0 = jax.lax.dot_general(
                 x3_ref[:, :], f_ref[r], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         else:
             # MEASURED: a bf16 build (bf16 broadcasts + tanh) was SLOWER
             # (52.8 vs 48.3 ms) — same bf16-elementwise finding as p1
@@ -774,7 +785,8 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
             # transpose"), so i4dw1's aqT must transpose the int8 values
             acc = jax.lax.dot_general(                       # int4 x int4
                 aq.astype(i4), w4fs[:, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
             return aq, acc
         if rbits is not None:
             aq = _sr_int(a0 * 127.0, rbits, -127, 127)
@@ -782,7 +794,8 @@ def _kernel(x3_ref, f_ref, w1q_ref, sw_ref, h1s_ref, w1q4_ref, s4_ref,
             aq = jnp.round(a0 * 127.0).astype(jnp.int8)
         acc = jax.lax.dot_general(
             aq, w1q_ref[:, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+            preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
         return aq, acc
 
     # -- explicit n_img-image software pipeline -------------------------------

@@ -95,7 +95,8 @@ class _PhasesT:
     def p2_head(self):                                       # MXU
         z2 = jax.lax.dot_general(                            # (No, Pt)
             self.wht_ref[:, :], self.a1c, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
         self.z2 = z2 + self.bhtc_ref[:, 0:1].astype(jnp.float32)
 
     def p3_bce(self):                                        # VPU (tiny)
@@ -112,10 +113,12 @@ class _PhasesT:
     def p4_headbwd(self):                                    # MXU
         self.dwht = jax.lax.dot_general(                     # (No, Hp)
             self.dz2c, self.a1c, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
         self.da1 = jax.lax.dot_general(                      # (Hp, Pt)
             self.whtT_ref[:, :], self.dz2c, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT).astype(jnp.bfloat16)
 
     def p5_dh1(self):                                        # VPU
         self.dbht = jnp.sum(self.dz2, axis=1, keepdims=True)
@@ -146,12 +149,14 @@ class _PhasesT:
         # rows 0:H = dW1, row H = db1 (engineered constant activation row)
         self.dw1x = jax.lax.dot_general(                     # (Hp, Hp)
             aop, self.dh1q, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT
         ).astype(jnp.float32) * self.dw1_s
         wk = self.w1a_ref if self.grad_mode == "i8" else self.w4s
         self.da0 = jax.lax.dot_general(                      # (Hp, Pt)
             wk[:, :], self.dh1q, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT)
 
     def p7_dh0(self):                                        # VPU, bf16
         # i4fwd keeps only the 4-bit activation copy; tanh' from 4-bit a0
@@ -165,7 +170,8 @@ class _PhasesT:
         dfold = jax.lax.dot_general(                         # (Hp, 4)
             self.dh0, self.xT_ref[:, :].astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
         dfold = dfold * self.dscale                          # deferred scale
         # stash the per-image BCE at [0, 3]: column 3 multiplies the
         # fold's zeros column, so its cotangent is discarded by autodiff
@@ -202,7 +208,8 @@ def _kernel_t(xT_ref, fT_ref, w1qT_ref, h1sc_ref, w1a_ref, s4c_ref, b1c_ref,
             aq4 = aq8.astype(i4)
             acc = jax.lax.dot_general(                       # int4 x int4
                 w4fs[:, :], aq4, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT)
             return aq8, aq4, acc
         aq8 = jnp.round(a0 * 127.0).astype(jnp.int8)
         aq4 = None
@@ -210,7 +217,8 @@ def _kernel_t(xT_ref, fT_ref, w1qT_ref, h1sc_ref, w1a_ref, s4c_ref, b1c_ref,
             aq4 = jnp.clip(jnp.round(a0 * 7.0), -7, 7).astype(i4)
         acc = jax.lax.dot_general(                           # (Hp, Pt) i32
             w1qT_ref[:, :], aq8, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT)
         return aq8, aq4, acc
 
     built = [build(r) for r in range(n_img)]

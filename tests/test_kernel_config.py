@@ -100,3 +100,37 @@ def test_trainer_construction_guard(clean_env):
 def test_numerics_fields_exist():
     names = {f for f in KernelConfig.__dataclass_fields__}
     assert set(NUMERICS_FIELDS) <= names
+
+
+def test_kernel_dots_pin_explicit_precision():
+    """Every dot_general/jnp.dot inside the Pallas kernel modules must
+    pass an explicit precision: jax_default_matmul_precision is ambient
+    process state (the CLI parity paths set 'highest'), and a leaked
+    fp32 contract precision on an int4/int8 dot makes Mosaic reject the
+    kernel with 'Bad lhs type' (round 5 — first CLI --int8-decoder run
+    on real TPU hardware)."""
+    import os
+    import re
+
+    kdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "spatialvae_tpu", "kernels")
+    offenders = []
+    for name in sorted(os.listdir(kdir)):
+        if not name.endswith(".py"):
+            continue
+        src = open(os.path.join(kdir, name)).read()
+        for m in re.finditer(r"jax\.lax\.dot_general\(|jnp\.dot\(", src):
+            depth, i = 0, m.end() - 1
+            while True:
+                if src[i] == "(":
+                    depth += 1
+                elif src[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            if "precision" not in src[m.start():i + 1]:
+                offenders.append(f"{name}:{src[:m.start()].count(chr(10)) + 1}")
+    assert not offenders, (
+        "kernel dots without an explicit precision= (ambient "
+        f"jax_default_matmul_precision leaks in): {offenders}")
