@@ -232,6 +232,20 @@ def hw_tiles_ok(hw: int) -> bool:
     return hw >= 1024 and hw % _pick_tile(hw) == 0
 
 
+def padded_hw(hw: int) -> int:
+    """Smallest tile-aligned pixel count >= hw (and >= the kernel's 1024
+    floor).  The bernoulli/gaussian families run non-aligned images
+    (MNIST's 784, the CTF-forced odd cryo-EM dims like 65x65=4225) by
+    zero-padding coords/targets and FORCING a mask whose pad rows are 0:
+    masked dz2 is exactly 0 there, so every gradient contribution of a
+    pad pixel vanishes (dw1/da0 consume dz2-derived int tiles that
+    quantize 0 to 0; dfold's pad coord rows are zero as well) and the
+    loss equals the unpadded computation exactly.  Colored keeps the
+    aligned requirement (its mu/logvar half-pairing does not survive a
+    tail pad)."""
+    return max(1024, -(-hw // 256) * 256)
+
+
 def can_fuse_loss_int8(cfg: SpatialGeneratorConfig, hw: int,
                        likelihood: str) -> bool:
     """Bernoulli (galaxy/mnist BCE), gaussian (particles no-fit-noise,
@@ -254,10 +268,23 @@ def can_fuse_loss_int8(cfg: SpatialGeneratorConfig, hw: int,
             return False
     elif likelihood != "bernoulli":
         return False
-    return (not cfg.expand_coords and not cfg.bilinear and not cfg.resid
+    if not (not cfg.expand_coords and not cfg.bilinear and not cfg.resid
             and not cfg.softplus
-            and cfg.num_layers == 2 and cfg.n_out <= 8
-            and hw_tiles_ok(hw))
+            and cfg.num_layers == 2 and cfg.n_out <= 8):
+        return False
+    if likelihood == "colored":
+        # the mu/logvar half-pairing does not survive a tail pad, and the
+        # in-kernel lane split at Pt/2 needs 128-aligned halves — require
+        # a proper 256-multiple tiling (the pt=hw single-tile fallback
+        # that hw_tiles_ok would accept for any hw >= 1024 is NOT colored-
+        # legal: e.g. hw=4226 would split lanes at 2113)
+        return hw % 256 == 0 and hw_tiles_ok(hw)
+    # bernoulli/gaussian pad non-aligned pixel counts (padded_hw).  The
+    # kernel's cost scales with the PADDED count, so require the pad
+    # overhead stay modest (<= ~33%, i.e. hw >= 768): MNIST's 784 -> 1024
+    # and the odd cryo-EM dims (65x65=4225 -> 4352, +3%) qualify; tiny
+    # images keep the XLA path
+    return hw >= 768 and hw_tiles_ok(padded_hw(hw))
 
 
 def _colored_coords(coords: jnp.ndarray, pt: int) -> jnp.ndarray:
@@ -1025,6 +1052,12 @@ def _lossgrad_pallas(fold, coords, w1, b1, wht, bht, y_t, mask=None,
     ]
     if family == "colored":
         assert n_out == 2 and y_t.shape[1:] == (2, hw // 2), y_t.shape
+    else:
+        # hw here is the (possibly padded) coords length — targets must
+        # already be padded to match (fused_bce_spatial_int8 pads per
+        # step when building y_t itself; trainer._dataset_yt pads the
+        # prebuilt copy once)
+        assert y_t.shape[2] == hw, (y_t.shape, hw)
     operands = [x3, fold, w1q, sw, h1s, w1q4, s4, b1, wht_op, bht, y_t]
     has_mask = mask is not None
     if has_mask:
@@ -1160,6 +1193,18 @@ def fused_bce_spatial_int8(params, cfg: SpatialGeneratorConfig,
         # kernel's (_pick_tile consults the same KernelConfig)
         coords = _colored_coords(coords.astype(jnp.float32),
                                  _pick_tile(hw))
+    hw_p = hw if family == "colored" else padded_hw(hw)
+    if hw_p != hw:
+        # non-aligned pixel counts (see padded_hw): zero-pad coords and
+        # FORCE a mask whose pad rows are 0 — the masked dz2 is exactly 0
+        # there, so the loss and every gradient match the unpadded math
+        pad = hw_p - hw
+        coords = jnp.concatenate(
+            [coords.astype(jnp.float32),
+             jnp.zeros((pad, 2), jnp.float32)], axis=0)
+        base = (jnp.ones((hw,), jnp.float32) if mask is None
+                else mask.reshape(hw).astype(jnp.float32))
+        mask = jnp.concatenate([base, jnp.zeros((pad,), jnp.float32)])
     if y_t is None:
         b = y.shape[0]
         # the kernel casts target tiles to f32 at use — keep the batch in
@@ -1168,6 +1213,10 @@ def fused_bce_spatial_int8(params, cfg: SpatialGeneratorConfig,
             y_t = _colored_targets(y, hw)
         else:
             y_t = y.reshape(b, hw, -1).swapaxes(1, 2)
+            if hw_p != hw:
+                y_t = jnp.concatenate(
+                    [y_t, jnp.zeros(y_t.shape[:2] + (hw_p - hw,),
+                                    y_t.dtype)], axis=2)
     return fused_decoder_bce_int8(fold, coords, hidden["w"], hidden["b"],
                                   head["w"].T, head["b"], y_t, mask,
                                   family, interpret)

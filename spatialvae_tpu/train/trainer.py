@@ -690,6 +690,20 @@ class Trainer:
         else:
             yt = (src.reshape(n, hw, -1).swapaxes(1, 2)
                   .astype(self._compute_dtype))
+        if not colored:
+            # non-tile-aligned images (MNIST 784, odd cryo-EM dims): the
+            # kernel consumes the zero-padded pixel count; pad ONCE at
+            # dataset build so the per-step gather stays a pure gather.
+            # Pad value is the int8 grid's zero (-128 = 0/255) or 0.0 —
+            # the kernel's forced pad mask zeroes the contribution either
+            # way (fused_loss_int8.padded_hw)
+            from spatialvae_tpu.kernels.fused_loss_int8 import padded_hw
+
+            hw_p = padded_hw(hw)
+            if hw_p != hw:
+                fill = -128 if yt.dtype == jnp.int8 else 0
+                yt = jnp.pad(yt, ((0, 0), (0, 0), (0, hw_p - hw)),
+                             constant_values=fill)
         # key by id, keep the source array alive in the value so the id
         # cannot be recycled while the entry exists
         self._cache_put(cache, id(y), (y, yt))

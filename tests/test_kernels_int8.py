@@ -228,7 +228,14 @@ def test_can_fuse_loss_int8_gating():
     assert not can_fuse_loss_int8(good2, 4096, "gaussian")
     assert can_fuse_loss_int8(good2, 4096, "colored")
     assert not can_fuse_loss_int8(good, 4096, "colored")
-    assert not can_fuse_loss_int8(good, 784, "bernoulli")   # not tile-aligned
+    # round 5: non-tile-aligned pixel counts PAD onto the kernel for the
+    # bernoulli/gaussian families (MNIST 784 -> 1024, odd cryo-EM
+    # 65x65=4225 -> 4352); colored keeps the aligned requirement and
+    # tiny images keep the XLA path (pad overhead bound, hw >= 768)
+    assert can_fuse_loss_int8(good, 784, "bernoulli")
+    assert can_fuse_loss_int8(good, 4225, "gaussian")
+    assert not can_fuse_loss_int8(good2, 4226, "colored")
+    assert not can_fuse_loss_int8(good, 256, "bernoulli")
     assert not can_fuse_loss_int8(
         SpatialGeneratorConfig(latent_dim=2, num_layers=3), 4096, "bernoulli")
 
@@ -793,3 +800,114 @@ def test_elbo_fused_loss_gaussian_matches_plain(masked):
                                rtol=1e-2)
     np.testing.assert_allclose(float(e_fused[2]), float(e_plain[2]),
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("family,n,m,masked", [
+    # MNIST's 28x28 = 784 -> padded to 1024
+    ("bernoulli", 28, 28, False),
+    # odd cryo-EM dims (CTF forces odd): 33x33 = 1089 -> 1280, with the
+    # circular mask composing with the pad mask
+    ("gaussian", 33, 33, True),
+])
+def test_fused_loss_padded_hw_matches_f32(family, n, m, masked,
+                                          monkeypatch):
+    """Non-tile-aligned pixel counts (round 5): zero-padded coords +
+    forced pad mask must reproduce the unpadded XLA decode + loss +
+    autodiff within the usual quantisation bands."""
+    from spatialvae_tpu.kernels.fused_loss_int8 import (
+        can_fuse_loss_int8,
+        fused_bce_spatial_int8,
+    )
+
+    monkeypatch.setenv("SPATIALVAE_INT4_GRADS", "i8")
+    monkeypatch.setenv("SPATIALVAE_GSCALE", "tile")
+    monkeypatch.setenv("SPATIALVAE_PIPE_IMGS", "2")
+    hw = n * m
+    cfg = SpatialGeneratorConfig(latent_dim=4, hidden_dim=32, n_out=1,
+                                 num_layers=2)
+    assert can_fuse_loss_int8(cfg, hw, family)
+    params = spatial_generator_init(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    coords = jnp.asarray(coord_grid(n, m))
+    theta = jax.random.normal(ks[1], (4,)) * 0.5
+    dx = jax.random.normal(ks[2], (4, 2)) * 0.1
+    z = jax.random.normal(ks[3], (4, 4))
+    y = jax.random.uniform(ks[4], (4, hw))
+    mask = None
+    if masked:
+        mask = (jnp.sum(coords ** 2, axis=1) <= 1.0).astype(jnp.float32)
+
+    def loss_ref(p, th, d, zz):
+        yh = spatial_generator_apply_folded(p, cfg, coords, th, d, zz
+                                            )[..., 0]
+        if family == "gaussian":
+            per = (yh - y) ** 2
+            if mask is not None:
+                per = per * mask[None, :]
+            return 0.5 * jnp.sum(per)
+        log_y = jnp.clip(jnp.log(yh), -100.0, None)
+        log_1my = jnp.clip(jnp.log1p(-yh), -100.0, None)
+        per = -(y * log_y + (1.0 - y) * log_1my)
+        if mask is not None:
+            per = per * mask[None, :]
+        return jnp.sum(per)
+
+    def loss_fused(p, th, d, zz):
+        return fused_bce_spatial_int8(p, cfg, coords, th, d, zz, y,
+                                      mask=mask, family=family,
+                                      interpret=True)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(
+        params, theta, dx, z)
+    v_f, g_f = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3))(
+        params, theta, dx, z)
+    assert abs(float(v_f - v_ref) / float(v_ref)) < 1e-3
+    for a, r in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_ref)):
+        a = np.asarray(a)
+        r = np.asarray(r)
+        rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-12)
+        assert rel < 5e-2, rel
+        denom = np.linalg.norm(a.ravel()) * np.linalg.norm(r.ravel())
+        if denom > 1e-8:
+            assert float(a.ravel() @ r.ravel() / denom) > 0.995
+
+
+def test_trainer_padded_mnist_shape_fused_epoch(monkeypatch):
+    """Trainer-level 28x28 (MNIST-shaped) int8 training: _dataset_yt pads
+    the int8 /255-grid target copy once, the epoch scan gathers from it,
+    and the fused epoch tracks the plain XLA trainer."""
+    from spatialvae_tpu.core.config import InferenceConfig
+    from spatialvae_tpu.data import ArrayDataset
+    from spatialvae_tpu.objectives import ElboConfig
+    from spatialvae_tpu.train import Trainer, TrainConfig
+
+    monkeypatch.setenv("SPATIALVAE_INTERPRET", "1")
+    monkeypatch.setenv("SPATIALVAE_INT4_GRADS", "i8")
+    monkeypatch.setenv("SPATIALVAE_GSCALE", "tile")
+    monkeypatch.setenv("SPATIALVAE_ALLOW_KNOBS", "1")
+    n = m = 28
+    cfg = SpatialGeneratorConfig(latent_dim=3, hidden_dim=32, n_out=1,
+                                 num_layers=2)
+    q_cfg = InferenceConfig(n=n * m, latent_dim=6, hidden_dim=16,
+                            num_layers=2)
+    coords = coord_grid(n, m)
+    tcfg = TrainConfig(minibatch_size=8, num_epochs=1, seed=0,
+                       compute_dtype="float32", image_shape=(n, m))
+    y = jnp.round(jax.random.uniform(jax.random.PRNGKey(5), (16, n * m))
+                  * 255.0) / 255.0
+    ds = ArrayDataset(y)
+
+    base = dict(theta_prior=np.pi / 4, theta_mean_penalty=True)
+    t_plain = Trainer(q_cfg, cfg, ElboConfig(**base), tcfg, coords)
+    t_fused = Trainer(q_cfg, cfg, ElboConfig(fused=True, int8=True,
+                                             **base), tcfg, coords)
+    t_fused.state = jax.tree_util.tree_map(jnp.array, t_plain.state)
+    assert t_fused._wants_yt(ds)
+    yt = t_fused._dataset_yt(ds)
+    assert yt.shape == (16, 1, 1024) and yt.dtype == jnp.int8
+    mp = t_plain.train_epoch(ds, 0, progress=False)
+    mf = t_fused.train_epoch(ds, 0, progress=False)
+    np.testing.assert_allclose(mf[0], mp[0], rtol=3e-3)
+    np.testing.assert_allclose(mf[1], mp[1], rtol=3e-3)
+    np.testing.assert_allclose(mf[2], mp[2], rtol=3e-3)
