@@ -41,7 +41,11 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
     from spatialvae_tpu.train import Trainer, TrainConfig
     from spatialvae_tpu.transforms.coords import coord_grid
 
-    n = m = 64
+    # 'mnist' = BASELINE.json config #1 shape (28x28 grayscale, z=2,
+    # 500-wide p/q): hw=784 is NOT tile-aligned — the kernel runs it via
+    # the round-5 zero-padding (784 -> 1024), so this arm measures the
+    # padded kernel against its own bf16/XLA fallback.
+    n = m = 28 if config == "mnist" else 64
     # 'particles' = the cryo-EM workload (BASELINE.json configs #3/#4
     # minus CTF): grayscale, gaussian likelihood, circular pixel mask —
     # rides the gaussian-family fused kernel since round 4.
@@ -51,19 +55,22 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
     # permuted coords (kernels/fused_loss_int8.py module docstring):
     # 43.6k img/s at B=2048 vs 31.3k on the XLA decode-then-loss path it
     # replaced (BASELINE.md round 5).
-    channels = 1 if config in ("particles", "colored") else 3
-    z_dim = 20
+    channels = 1 if config in ("particles", "colored", "mnist") else 3
+    z_dim = 2 if config == "mnist" else 20
     n_images = batch * steps_per_epoch
 
     inf_dim = z_dim + 3
     q_cfg = InferenceConfig(n=n * m * channels, latent_dim=inf_dim,
-                            hidden_dim=5000, num_layers=2)
+                            hidden_dim=500 if config == "mnist" else 5000,
+                            num_layers=2)
     n_out = 2 if config == "colored" else channels
     p_cfg = SpatialGeneratorConfig(latent_dim=z_dim, hidden_dim=500,
                                    n_out=n_out, num_layers=2)
     likelihood = {"particles": "gaussian", "colored": "colored"}.get(
         config, "bernoulli")
-    ecfg = ElboConfig(rotate=True, translate=True, theta_prior=np.pi,
+    ecfg = ElboConfig(rotate=True, translate=True,
+                      theta_prior=np.pi / 4 if config == "mnist" else np.pi,
+                      theta_mean_penalty=config == "mnist",
                       likelihood=likelihood,
                       channels=channels, fused=fused, int8=int8)
     tcfg = TrainConfig(minibatch_size=batch, learning_rate=1e-4,
@@ -79,7 +86,7 @@ def run_bench(batch: int, fused: bool, epochs: int = 3,
     key = jax.random.PRNGKey(0)
     y = jax.random.uniform(key, (n_images, n * m, channels),
                            dtype=jnp.float32)
-    if int8 and config == "galaxy":
+    if int8 and config in ("galaxy", "mnist"):
         # real galaxy/mnist data is PNG-decoded uint8 / 255
         # (train_galaxy.py:386-387) — generate on the same /255 grid so
         # the trainer's int8-target detection engages (trainer._dataset_yt
@@ -169,6 +176,7 @@ def main():
     mode = "int8" if int8 else "bf16"
     name = {"particles": "particles 64px z=20 gaussian+mask",
             "colored": "particles 64px z=20 fit-noise+mask",
+            "mnist": "mnist 28px z=2 (hw padded 784->1024)",
             }.get(config, "galaxy_zoo 64px z=20")
     result = {
         "metric": f"train images/sec/chip ({name}, {mode})",
